@@ -1,0 +1,16 @@
+"""elementalx — TPU-native distributed dense linear algebra.
+
+A from-scratch rebuild of Elemental/Hydrogen (reference: /root/reference,
+LLNL Hydrogen fork of Elemental 1.2.0) designed for TPU: the process Grid
+is a jax.sharding Mesh, matrix distributions are shardings, every
+redistribution is an XLA collective over ICI, and local block compute runs
+on the MXU via XLA ops and Pallas kernels. See SURVEY.md for the layer map.
+
+The public surface mirrors El:: names but is functional (ops return new
+DistMatrices) as JAX requires.
+"""
+
+__version__ = "0.1.0"
+
+from .core import *  # noqa: F401,F403
+from .core import redistribute as copy  # noqa: F401  (the copy:: namespace)

@@ -1,0 +1,112 @@
+"""Redistribution conformance sweep.
+
+Mirrors the reference's tests/core/DistMatrix.cpp: for every ordered pair
+of the 13(+CIRC) distributions, B = A must preserve the global matrix.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import elementalx as El
+from elementalx import ALL_DISTS, DistMatrix
+
+
+def _mk(rng, m, n, grid, dist):
+    a = rng.standard_normal((m, n))
+    return a, DistMatrix.from_global(a, dist[0], dist[1], grid)
+
+
+@pytest.mark.parametrize("src", ALL_DISTS, ids=lambda d: f"{d[0].name}_{d[1].name}")
+@pytest.mark.parametrize("dst", ALL_DISTS, ids=lambda d: f"{d[0].name}_{d[1].name}")
+def test_redistribution_conformance(grid, rng, src, dst):
+    a, A = _mk(rng, 13, 7, grid, src)  # awkward sizes on purpose
+    B = A.redistribute(*dst)
+    assert B.dist == dst
+    np.testing.assert_array_equal(B.global_array(), a)
+
+
+def test_redistribution_under_jit(grid, rng):
+    a, A = _mk(rng, 16, 8, grid, (El.MC, El.MR))
+
+    @jax.jit
+    def roundtrip(X: DistMatrix):
+        Y = X.redistribute(El.VC, El.STAR)
+        Z = Y.redistribute(El.STAR, El.VR)
+        return Z.redistribute(El.MC, El.MR)
+
+    B = roundtrip(A)
+    np.testing.assert_allclose(B.global_array(), a)
+
+
+def test_named_paths(grid, rng):
+    a, A = _mk(rng, 12, 12, grid, (El.MC, El.MR))
+    B = El.copy.RowAllGather(A)
+    assert B.dist == (El.MC, El.STAR)
+    C = El.copy.ColAllGather(B)
+    assert C.dist == (El.STAR, El.STAR)
+    D = El.copy.Filter(C, El.VR, El.STAR)
+    assert D.dist == (El.VR, El.STAR)
+    E = El.copy.PartialColAllGather(D)
+    assert E.dist == (El.MR, El.STAR)
+    F = El.copy.Gather(E)
+    assert F.dist == (El.CIRC, El.CIRC)
+    G = El.copy.Scatter(F)
+    np.testing.assert_array_equal(G.global_array(), a)
+
+
+def test_exchange_and_demote(grid, rng):
+    a, A = _mk(rng, 10, 6, grid, (El.MC, El.MR))
+    B = El.copy.Exchange(A)
+    assert B.dist == (El.MR, El.MC)
+    C = El.copy.ColAllToAllDemote(B)
+    assert C.dist == (El.VR, El.STAR)
+    D = El.copy.ColAllToAllPromote(C)
+    assert D.dist == (El.MR, El.MC)
+    np.testing.assert_array_equal(D.global_array(), a)
+
+
+def test_translate_between_grids(grid, square_grid, rng):
+    """Reference: tests/core/DifferentGrids.cpp:30-70."""
+    a, A = _mk(rng, 9, 9, grid, (El.MC, El.MR))
+    B = El.TranslateBetweenGrids(A, square_grid)
+    assert B.grid == square_grid
+    np.testing.assert_array_equal(B.global_array(), a)
+    C = El.TranslateBetweenGrids(B, grid)
+    np.testing.assert_array_equal(C.global_array(), a)
+
+
+def test_grid_properties():
+    g = El.Grid(height=4)
+    assert (g.height, g.width, g.size) == (4, 2, 8)
+    assert g.lcm == 4 and g.gcd == 2
+    assert El.default_grid_height(8) == 2
+    assert El.default_grid_height(16) == 4
+    assert El.default_grid_height(7) == 1
+
+
+def test_invalid_dist_pair(grid):
+    with pytest.raises(ValueError):
+        grid.spec(El.MC, El.MC)
+    with pytest.raises(ValueError):
+        grid.spec(El.VC, El.MR)
+
+
+def test_dist_algebra():
+    assert El.Collect(El.MC) == El.STAR
+    assert El.Collect(El.CIRC) == El.CIRC
+    assert El.Partial(El.VC) == El.MC
+    assert El.Partial(El.VR) == El.MR
+    assert El.ProductDist(El.MC, El.MR) == El.VC
+    assert El.ProductDist(El.MR, El.MC) == El.VR
+    assert El.DiagCol(El.MC, El.MR) == El.MD
+
+
+def test_dtype_preserved(grid, rng):
+    for dt in (jnp.float32, jnp.float64, jnp.complex64, jnp.complex128):
+        a = rng.standard_normal((8, 8)).astype(dt)
+        A = DistMatrix.from_global(a, El.MC, El.MR, grid)
+        B = A.redistribute(El.VR, El.STAR)
+        assert B.dtype == dt
+        np.testing.assert_array_equal(B.global_array(), a)
