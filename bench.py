@@ -1,0 +1,99 @@
+"""Headline benchmark: distributed GEMM TFLOP/s per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Methodology: the axon TPU tunnel does not honour block_until_ready and
+has ~30 ms RTT, so wall-timing single dispatches lies. We instead time
+two jitted programs that chain k1 and k2 dependent Gemms inside one
+fori_loop and divide the time difference by (k2 - k1); only a scalar
+leaves the device.
+
+Baseline (BASELINE.md): >= 85% of MXU peak at large N. Peak per chip by
+generation: v5e ~197 bf16 TFLOP/s, v5p ~459, v4 ~275. vs_baseline is
+achieved / (0.85 * peak); on CPU (no TPU) a nominal 1 TFLOP/s peak makes
+the line a smoke measure.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _detect_peak_tflops(platform: str) -> float:
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "").lower()
+    table = {"v5e": 197.0, "v5p": 459.0, "v6e": 918.0, "v4": 275.0}
+    if platform in ("tpu", "axon"):
+        for k, v in table.items():
+            if k in gen:
+                return v
+        return 197.0
+    return 1.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import elementalx as El
+    from elementalx import DistMatrix
+    from elementalx.core.types import NORMAL
+
+    devs = jax.devices()
+    platform = devs[0].platform.lower()
+    on_tpu = platform in ("tpu", "axon")
+
+    n = 8192 if on_tpu else 512
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    k1, k2 = 2, (22 if on_tpu else 6)
+
+    grid = El.Grid(devices=devs)
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((n, n)), dtype=dtype)
+    b = jnp.asarray(rng.standard_normal((n, n)), dtype=dtype)
+    A = DistMatrix.from_global(a, grid=grid)
+    B = DistMatrix.from_global(b, grid=grid)
+    damp = 1.0 / np.sqrt(n)
+
+    def chain(k):
+        def f(A, B):
+            def body(_, X):
+                Y = El.Gemm(NORMAL, NORMAL, damp, X, B)
+                return Y
+
+            X = jax.lax.fori_loop(0, k, body, A)
+            return jnp.sum(X.data.astype(jnp.float32))
+
+        return jax.jit(f)
+
+    f1, f2 = chain(k1), chain(k2)
+    float(f1(A, B))  # compile + warm
+    float(f2(A, B))
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(f1(A, B))
+        t1 = time.perf_counter()
+        float(f2(A, B))
+        t2 = time.perf_counter()
+        dt = ((t2 - t1) - (t1 - t0)) / (k2 - k1)
+        best = min(best, dt)
+
+    flops = 2.0 * n * n * n
+    tflops = flops / best / 1e12
+    per_chip = tflops / len(devs)
+    peak = _detect_peak_tflops(platform)
+    baseline = 0.85 * peak
+    print(json.dumps({
+        "metric": f"gemm_{jnp.dtype(dtype).name}_N{n}_tflops_per_chip",
+        "value": round(per_chip, 3),
+        "unit": "TFLOP/s",
+        "vs_baseline": round(per_chip / baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

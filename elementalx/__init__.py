@@ -14,3 +14,19 @@ __version__ = "0.1.0"
 
 from .core import *  # noqa: F401,F403
 from .core import redistribute as copy  # noqa: F401  (the copy:: namespace)
+from . import blas  # noqa: F401
+from .blas import (  # noqa: F401
+    Gemm,
+    Gemv,
+    Hemm,
+    Her2k,
+    Herk,
+    Symm,
+    Syr2k,
+    Syrk,
+    Trmm,
+    Trsm,
+    Trsv,
+)
+from . import lapack  # noqa: F401
+from .lapack import Cholesky, HPDSolve  # noqa: F401

@@ -1,0 +1,167 @@
+"""Distributed Cholesky factorization.
+
+Reference: src/lapack_like/factor/Cholesky.cpp:96-145 (driver),
+factor/Cholesky/UpperVariant3.hpp:76-124 / LowerVariant3.hpp (blocked
+right-looking variant-3), PivotedLowerVariant3.hpp (full pivoting),
+SolveAfter.hpp, ReverseLowerVariant3.hpp, CholeskyMod.hpp.
+
+TPU-native design: recursive right-looking splitting (static shapes, a
+log-depth chain of full-size MXU matmuls) instead of the reference's
+panel loop. Each level:
+
+    A = [[A11, .  ],      L11 = chol(A11)
+         [A21, A22]]      L21 = A21 inv(L11)^H          (Trsm, MXU)
+                          A22' = A22 - L21 L21^H        (Syrk, MXU)
+
+which is exactly Variant-3 semantics (UpperVariant3.hpp:76-124) with the
+panel broadcast/allgather plans replaced by XLA's sharding propagation.
+The base-case block factorization is XLA's on-device Cholesky.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.dmatrix import DistMatrix
+from ..core.environment import Blocksize, NonHPDMatrixException
+from ..core.types import (
+    ADJOINT,
+    LEFT,
+    LOWER,
+    MC,
+    MR,
+    NON_UNIT,
+    NORMAL,
+    Orientation,
+    UPPER,
+    UpperOrLower,
+)
+from ..blas.gemm import local_gemm
+from ..blas.level1 import MakeHermitian, MakeTrapezoidal
+from ..blas.trsm import Trsm
+
+
+def _chol_lower_rec(a: jax.Array, nb: int) -> jax.Array:
+    """Recursive lower Cholesky of a padded Hermitian array whose padding
+    diagonal is 1. Static shapes throughout."""
+    n = a.shape[0]
+    if n <= nb:
+        return jax.lax.linalg.cholesky(a)
+    h = n // 2
+    # keep splits grid-aligned when possible (n is a multiple of the grid
+    # quantum by construction; h inherits half of it)
+    a11 = a[:h, :h]
+    a21 = a[h:, :h]
+    a22 = a[h:, h:]
+    l11 = _chol_lower_rec(a11, nb)
+    # L21 = A21 inv(L11)^H  — right-side triangular solve, batched on MXU
+    l21 = jax.lax.linalg.triangular_solve(
+        l11, a21, left_side=False, lower=True, conjugate_a=True,
+        transpose_a=True)
+    a22u = a22 - local_gemm(l21, jnp.conj(l21.T))
+    l22 = _chol_lower_rec(a22u, nb)
+    top = jnp.concatenate([l11, jnp.zeros((h, n - h), a.dtype)], axis=1)
+    bot = jnp.concatenate([l21, l22], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def _prep_hpd(A: DistMatrix, uplo: UpperOrLower) -> jax.Array:
+    """Full Hermitian data with identity on the padding diagonal."""
+    Af = MakeHermitian(uplo, A.redistribute(MC, MR))
+    d = Af.data
+    M = d.shape[0]
+    i = jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
+    pad_diag = (i == j) & (i >= A.m)
+    return jnp.where(pad_diag, jnp.ones((), d.dtype), d)
+
+
+def _strip_pad_diag(L: jax.Array, m: int) -> jax.Array:
+    M = L.shape[0]
+    i = jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
+    pad_diag = (i == j) & (i >= m)
+    return jnp.where(pad_diag, jnp.zeros((), L.dtype), L)
+
+
+def Cholesky(uplo: UpperOrLower, A: DistMatrix,
+             blocksize: Optional[int] = None) -> DistMatrix:
+    """Return the Cholesky factor in the uplo triangle
+    (reference: Cholesky.cpp:96; LOWER: A = L L^H, UPPER: A = U^H U)."""
+    if A.m != A.n:
+        raise ValueError("Cholesky requires a square matrix")
+    nb = blocksize or Blocksize()
+    d = _prep_hpd(A, uplo)
+    L = _chol_lower_rec(d, nb)
+    L = _strip_pad_diag(L, A.m)
+    Ldm = A.redistribute(MC, MR).with_data(L)
+    Ldm = MakeTrapezoidal(LOWER, Ldm)
+    if uplo == LOWER:
+        return Ldm
+    from ..blas.level1 import Adjoint
+
+    return Adjoint(Ldm)
+
+
+def SolveAfter(uplo: UpperOrLower, orientation: Orientation,
+               A: DistMatrix, B: DistMatrix) -> DistMatrix:
+    """Solve using a computed Cholesky factor
+    (reference: factor/Cholesky/SolveAfter.hpp). A holds the factor in
+    uplo; solves A_original X = B via two triangular solves."""
+    if uplo == LOWER:
+        Y = Trsm(LEFT, LOWER, NORMAL, NON_UNIT, 1.0, A, B)
+        return Trsm(LEFT, LOWER, ADJOINT, NON_UNIT, 1.0, A, Y)
+    Y = Trsm(LEFT, UPPER, ADJOINT, NON_UNIT, 1.0, A, B)
+    return Trsm(LEFT, UPPER, NORMAL, NON_UNIT, 1.0, A, Y)
+
+
+def ReverseCholesky(uplo: UpperOrLower, A: DistMatrix,
+                    blocksize: Optional[int] = None) -> DistMatrix:
+    """Reverse factorization (LOWER: A = L^H L; reference:
+    factor/Cholesky/ReverseLowerVariant3.hpp) via the flip trick:
+    J A J = (J L^H J)(J L J) with J the exchange permutation."""
+    d = _prep_hpd(A, uplo)
+    flipped = d[::-1, ::-1]
+    nb = blocksize or Blocksize()
+    Lf = _chol_lower_rec(flipped, nb)
+    R = Lf[::-1, ::-1]  # upper triangular: A = R R^H (LOWER reverse: L^H L)
+    Rdm = A.redistribute(MC, MR).with_data(_strip_pad_diag(R, A.m))
+    Rdm = MakeTrapezoidal(UPPER, Rdm)
+    if uplo == UPPER:
+        return Rdm
+    from ..blas.level1 import Adjoint
+
+    return Adjoint(Rdm)
+
+
+def CholeskyMod(uplo: UpperOrLower, T: DistMatrix, alpha,
+                V: DistMatrix, blocksize: Optional[int] = None
+                ) -> DistMatrix:
+    """Update a Cholesky factor for A + alpha V V^H
+    (reference: factor/Cholesky/Mod.hpp). Recomputes from the reassembled
+    matrix — the rank-k rebuild is a few MXU matmuls, faster on TPU than
+    the reference's sequential hyperbolic-rotation sweeps."""
+    from ..blas.level3 import Herk
+
+    Tm = T.redistribute(MC, MR)
+    if uplo == LOWER:
+        from ..blas.gemm import Gemm
+
+        A = Gemm(NORMAL, ADJOINT, 1.0, Tm, Tm)
+    else:
+        from ..blas.gemm import Gemm
+
+        A = Gemm(ADJOINT, NORMAL, 1.0, Tm, Tm)
+    A = Herk(uplo, NORMAL, alpha, V, beta=1.0, C=A)
+    return Cholesky(uplo, A, blocksize)
+
+
+def HPDSolve(uplo: UpperOrLower, orientation: Orientation, A: DistMatrix,
+             B: DistMatrix, blocksize: Optional[int] = None) -> DistMatrix:
+    """Solve A X = B for HPD A (reference: src/lapack_like/solve/HPD.cpp):
+    Cholesky + SolveAfter."""
+    L = Cholesky(uplo, A, blocksize)
+    return SolveAfter(uplo, orientation, L, B)
