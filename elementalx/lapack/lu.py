@@ -1,0 +1,203 @@
+"""Distributed LU factorization with partial (and full) pivoting.
+
+Reference: src/lapack_like/factor/LU.cpp:47-98 (dist driver),
+factor/LU/Panel.hpp:68-158 (distributed pivoted panel: per-column MaxLoc
+AllReduce over the column comm + row-swap broadcast), LU/Full.hpp (full
+pivoting via global MaxAbsLoc), factor/LU/SolveAfter.hpp.
+
+TPU-native design: a fori_loop over column panels on the padded global
+array; the pivot search is a masked argmax (XLA lowers the reduction +
+the psum over 'mc'), row swaps are two dynamic row scatters, and the
+trailing update is one full-size masked MXU matmul per panel — the
+analogue of the reference's A21[MC,*] x A12[*,MR] LocalGemm. The pivot
+decisions never leave the device (SURVEY §7 hard-parts: fixed-trip loops
++ masked selects)."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.dmatrix import DistMatrix
+from ..core.environment import Blocksize
+from ..core.types import (
+    ADJOINT,
+    LEFT,
+    LOWER,
+    MC,
+    MR,
+    NON_UNIT,
+    NORMAL,
+    Orientation,
+    TRANSPOSE,
+    UNIT,
+    UPPER,
+)
+from ..blas.gemm import local_gemm
+from ..blas.trsm import Trsm
+from .perm import Permutation
+
+
+def _swap_rows(a: jax.Array, i, j) -> jax.Array:
+    ri = jax.lax.dynamic_index_in_dim(a, i, axis=0, keepdims=False)
+    rj = jax.lax.dynamic_index_in_dim(a, j, axis=0, keepdims=False)
+    a = jax.lax.dynamic_update_index_in_dim(a, rj[None, :], i, axis=0)
+    return jax.lax.dynamic_update_index_in_dim(a, ri[None, :], j, axis=0)
+
+
+def _lu_panel(a: jax.Array, perm: jax.Array, k0: int, nb: int, m: int
+              ) -> Tuple[jax.Array, jax.Array]:
+    """Unblocked pivoted factorization of columns [k0, k0+nb) over all rows
+    >= the diagonal (reference: LU/Panel.hpp:68-158). Whole rows are
+    swapped (right-looking w.r.t. the full matrix, like the reference's
+    driver which swaps across the entire width)."""
+    M = a.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
+
+    def col_step(j, carry):
+        a, perm = carry
+        jc = k0 + j
+        col = jax.lax.dynamic_index_in_dim(a, jc, axis=1, keepdims=False)
+        # pivot among rows [jc, m); padding rows excluded except jc itself
+        allowed = (rows >= jc) & ((rows < m) | (rows == jc))
+        mag = jnp.where(allowed, jnp.abs(col), -jnp.ones((), jnp.abs(col).dtype))
+        p = jnp.argmax(mag).astype(jnp.int32)
+        a = _swap_rows(a, jc, p)
+        pi = perm[jc]
+        perm = perm.at[jc].set(perm[p]).at[p].set(pi)
+        # multipliers + rank-1 update restricted to the panel
+        col = jax.lax.dynamic_index_in_dim(a, jc, axis=1, keepdims=False)
+        diag = jax.lax.dynamic_index_in_dim(col, jc, axis=0, keepdims=False)
+        safe = jnp.where(diag == 0, jnp.ones((), diag.dtype), diag)
+        below = rows > jc
+        l = jnp.where(below, col / safe, jnp.zeros_like(col))
+        a = jax.lax.dynamic_update_index_in_dim(
+            a, jnp.where(below, l, col)[:, None], jc, axis=1)
+        # update remaining panel columns (jc+1 .. k0+nb)
+        urow = jax.lax.dynamic_index_in_dim(a, jc, axis=0, keepdims=False)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (a.shape[1],), 0)
+        in_panel = (cols > jc) & (cols < k0 + nb)
+        upd = jnp.outer(l, jnp.where(in_panel, urow, jnp.zeros_like(urow)))
+        return a - upd, perm
+
+    return jax.lax.fori_loop(0, nb, col_step, (a, perm))
+
+
+def LU(A: DistMatrix, blocksize: Optional[int] = None
+       ) -> Tuple[DistMatrix, Permutation]:
+    """Partially-pivoted LU: returns (packed LU, P) with P A = L U, unit L
+    below the diagonal (reference: LU.cpp:47-98)."""
+    if A.m != A.n:
+        # the reference supports rectangular LU; the packed loop below does
+        # too (panels run over min(m, n))
+        pass
+    Am = A.redistribute(MC, MR)
+    a = Am.data
+    M = a.shape[0]
+    m = min(A.m, A.n)
+    nb = blocksize or Blocksize()
+    nb = max(1, min(nb, M))
+    while M % nb != 0:
+        nb -= 1
+    # pad diagonal to 1 so padding panels are trivial
+    i2 = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
+    j2 = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+    a = jnp.where((i2 == j2) & (i2 >= m), jnp.ones((), a.dtype), a)
+    nblk = (m + nb - 1) // nb
+    perm0 = jnp.arange(M, dtype=jnp.int32)
+
+    rowsv = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
+
+    def panel_step(k, carry):
+        a, perm = carry
+        k0 = k * nb
+        a, perm = _lu_panel(a, perm, k0, nb, m)
+        # U12 := inv(L11_unit) A12 ; computed full-width then masked.
+        Lpan = jax.lax.dynamic_slice(a, (0, k0), (M, nb))
+        L11 = jax.lax.dynamic_slice(a, (k0, k0), (nb, nb))
+        Arow = jax.lax.dynamic_slice(a, (k0, 0), (nb, a.shape[1]))
+        U12f = jax.lax.linalg.triangular_solve(
+            L11, Arow, left_side=True, lower=True, unit_diagonal=True)
+        colsv = jax.lax.broadcasted_iota(jnp.int32, (a.shape[1],), 0)
+        right = colsv >= k0 + nb
+        U12 = jnp.where(right[None, :], U12f, Arow)
+        a = jax.lax.dynamic_update_slice(a, U12, (k0, 0))
+        # trailing update: A22 -= L21 U12 (masked full-size MXU matmul)
+        below = rowsv >= k0 + nb
+        L21 = jnp.where(below[:, None], Lpan, jnp.zeros_like(Lpan))
+        U12m = jnp.where(right[None, :], U12, jnp.zeros_like(U12))
+        return a - local_gemm(L21, U12m), perm
+
+    a, perm = jax.lax.fori_loop(0, nblk, panel_step, (a, perm0))
+    # restore zero padding diagonal
+    a = jnp.where((i2 == j2) & (i2 >= m), jnp.zeros((), a.dtype), a)
+    out = Am.with_data(Am.mask_padding(a))
+    return out, Permutation(perm, A.m)
+
+
+def LUFullPiv(A: DistMatrix, blocksize: Optional[int] = None
+              ) -> Tuple[DistMatrix, Permutation, Permutation]:
+    """Fully-pivoted LU, P A Q^T = L U (reference: LU/Full.hpp): unblocked
+    with a global MaxAbsLoc per step."""
+    Am = A.redistribute(MC, MR)
+    a = Am.data
+    M, N = a.shape
+    m = min(A.m, A.n)
+    i2 = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
+    j2 = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+    a = jnp.where((i2 == j2) & (i2 >= m), jnp.ones((), a.dtype), a)
+    rowsv = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
+    colsv = jax.lax.broadcasted_iota(jnp.int32, (N,), 0)
+    rp0 = jnp.arange(M, dtype=jnp.int32)
+    cp0 = jnp.arange(N, dtype=jnp.int32)
+
+    def step(k, carry):
+        a, rp, cp = carry
+        act = (i2 >= k) & (j2 >= k) & (i2 < m) & (j2 < m)
+        mag = jnp.where(act, jnp.abs(a), -jnp.ones((), jnp.abs(a).dtype))
+        flat = jnp.argmax(mag)
+        pi = (flat // N).astype(jnp.int32)
+        pj = (flat % N).astype(jnp.int32)
+        a = _swap_rows(a, k, pi)
+        a = _swap_rows(a.T, k, pj).T
+        t = rp[k]
+        rp = rp.at[k].set(rp[pi]).at[pi].set(t)
+        t = cp[k]
+        cp = cp.at[k].set(cp[pj]).at[pj].set(t)
+        col = jax.lax.dynamic_index_in_dim(a, k, axis=1, keepdims=False)
+        diag = col[k]
+        safe = jnp.where(diag == 0, jnp.ones((), diag.dtype), diag)
+        below = rowsv > k
+        l = jnp.where(below, col / safe, jnp.zeros_like(col))
+        a = jax.lax.dynamic_update_index_in_dim(
+            a, jnp.where(below, l, col)[:, None], k, axis=1)
+        urow = jax.lax.dynamic_index_in_dim(a, k, axis=0, keepdims=False)
+        u = jnp.where(colsv > k, urow, jnp.zeros_like(urow))
+        return a - jnp.outer(l, u), rp, cp
+
+    a, rp, cp = jax.lax.fori_loop(0, m, step, (a, rp0, cp0))
+    a = jnp.where((i2 == j2) & (i2 >= m), jnp.zeros((), a.dtype), a)
+    out = Am.with_data(Am.mask_padding(a))
+    return out, Permutation(rp, A.m), Permutation(cp, A.n)
+
+
+def SolveAfter(orientation: Orientation, LUpacked: DistMatrix,
+               P: Permutation, B: DistMatrix) -> DistMatrix:
+    """Solve A X = B given P A = L U (reference: LU/SolveAfter.hpp)."""
+    if orientation == NORMAL:
+        Pb = P.apply_rows(B.redistribute(MC, MR))
+        Y = Trsm(LEFT, LOWER, NORMAL, UNIT, 1.0, LUpacked, Pb)
+        return Trsm(LEFT, UPPER, NORMAL, NON_UNIT, 1.0, LUpacked, Y)
+    # A^T X = B  =>  U^T L^T P X = B
+    Y = Trsm(LEFT, UPPER, orientation, NON_UNIT, 1.0, LUpacked, B)
+    Z = Trsm(LEFT, LOWER, orientation, UNIT, 1.0, LUpacked, Y)
+    return P.apply_rows(Z.redistribute(MC, MR), inverse=True)
+
+
+def LinearSolve(A: DistMatrix, B: DistMatrix,
+                blocksize: Optional[int] = None) -> DistMatrix:
+    """General solve via pivoted LU (reference: solve/Linear.cpp)."""
+    F, P = LU(A, blocksize)
+    return SolveAfter(NORMAL, F, P, B)

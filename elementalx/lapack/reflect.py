@@ -1,0 +1,120 @@
+"""Householder reflector machinery.
+
+Reference: src/lapack_like/reflect/ (ApplyPackedReflectors,
+ExpandPackedReflectors, Householder/Hyperbolic reflector kernels) and the
+compact-WY T-matrix construction used by factor/QR/.
+
+TPU-native form: reflectors are packed below the diagonal exactly like
+LAPACK/the reference; application is blocked compact-WY —
+A := A - V T (V^H A) — so the hot path is three MXU matmuls per block
+instead of rank-1 sweeps."""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _sign(x):
+    """Complex-safe sign with sign(0) = 1."""
+    ax = jnp.abs(x)
+    return jnp.where(ax == 0, jnp.ones((), x.dtype), x / jnp.where(ax == 0, 1, ax))
+
+
+def householder(x: jax.Array, j, m: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Compute a Householder reflector for column vector x, pivot row j,
+    active rows [j, m) (reference: reflect/Householder.cpp semantics:
+    H x = beta e_j with H = I - tau v v^H, v[j] = 1).
+
+    Returns (v, tau, beta); v is zero outside (j, m)."""
+    M = x.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
+    active_below = (rows > j) & (rows < m)
+    alpha = jax.lax.dynamic_index_in_dim(x, j, keepdims=False)
+    xb = jnp.where(active_below, x, jnp.zeros_like(x))
+    sigma2 = jnp.sum(jnp.abs(xb) ** 2)
+    norm = jnp.sqrt(jnp.abs(alpha) ** 2 + sigma2)
+    rdt = norm.dtype
+    beta = (-_sign(alpha) * norm.astype(x.dtype))
+    denom = alpha - beta
+    trivial = (sigma2 == 0)
+    safe_denom = jnp.where(trivial, jnp.ones((), x.dtype), denom)
+    v = jnp.where(active_below, xb / safe_denom, jnp.zeros_like(x))
+    v = v.at[j].set(jnp.ones((), x.dtype))
+    # tau = (beta - alpha) / beta
+    tau = jnp.where(trivial, jnp.zeros((), x.dtype),
+                    (beta - alpha) / jnp.where(beta == 0, 1, beta))
+    beta = jnp.where(trivial, alpha, beta)
+    return v, tau, beta
+
+
+def build_wy_T(V: jax.Array, tau: jax.Array) -> jax.Array:
+    """Upper-triangular T with H_1 ... H_nb = I - V T V^H
+    (the compact-WY form the reference stores per panel in its
+    'T matrices', factor/QR/Householder.hpp)."""
+    nb = V.shape[1]
+    G = jnp.conj(V.T) @ V  # (nb, nb) gram; j-th col's head = V[:, :j]^H v_j
+    cols = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+
+    def col_step(j, T):
+        w = jnp.where(rows[:, 0] < j, G[:, j], jnp.zeros_like(G[:, j]))
+        tj = tau[j]
+        newcol = -tj * (T @ w)
+        newcol = newcol.at[j].set(tj)
+        newcol = jnp.where(rows[:, 0] <= j, newcol, jnp.zeros_like(newcol))
+        return T.at[:, j].set(newcol)
+
+    T0 = jnp.zeros((nb, nb), V.dtype)
+    return jax.lax.fori_loop(0, nb, col_step, T0)
+
+
+def apply_block_reflector(V: jax.Array, T: jax.Array, A: jax.Array,
+                          adjoint: bool) -> jax.Array:
+    """A := (I - V T V^H) A   (adjoint=False, applies Q_b)
+       A := (I - V T^H V^H) A (adjoint=True, applies Q_b^H)."""
+    from ..blas.gemm import local_gemm
+
+    W = local_gemm(jnp.conj(V.T), A)          # (nb, N)
+    Tm = jnp.conj(T.T) if adjoint else T
+    return A - local_gemm(V, local_gemm(Tm, W))
+
+
+def extract_panel_V(a: jax.Array, k0: int, nb: int) -> jax.Array:
+    """Unpack the unit-lower-trapezoidal V of panel columns [k0, k0+nb)
+    from the packed factorization (reference: the 'packed reflectors'
+    storage convention)."""
+    M = a.shape[0]
+    panel = jax.lax.dynamic_slice(a, (0, k0), (M, nb))
+    rows = jax.lax.broadcasted_iota(jnp.int32, (M, nb), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (M, nb), 1) + k0
+    V = jnp.where(rows > cols, panel, jnp.zeros_like(panel))
+    return jnp.where(rows == cols, jnp.ones((), a.dtype), V)
+
+
+def ApplyPackedReflectors(packed: jax.Array, tau: jax.Array, A: jax.Array,
+                          nb: int, ncols: int, adjoint: bool) -> jax.Array:
+    """Apply Q (or Q^H) held as packed reflectors to A from the left
+    (reference: reflect/ApplyPackedReflectors.hpp, vertical-forward-lower
+    case used by QR). ncols = number of reflector columns (static)."""
+    nblk = (ncols + nb - 1) // nb
+    order = range(nblk) if adjoint else range(nblk - 1, -1, -1)
+    for b in order:
+        k0 = b * nb
+        w = min(nb, ncols - k0)
+        V = extract_panel_V(packed, k0, w)
+        t = jax.lax.dynamic_slice(tau, (k0,), (w,))
+        T = build_wy_T(V, t)
+        A = apply_block_reflector(V, T, A, adjoint)
+    return A
+
+
+def ExpandPackedReflectors(packed: jax.Array, tau: jax.Array, nb: int,
+                           ncols: int, out_cols: int) -> jax.Array:
+    """Materialise Q's first out_cols columns
+    (reference: reflect/ExpandPackedReflectors.hpp)."""
+    M = packed.shape[0]
+    eye = jnp.eye(M, out_cols, dtype=packed.dtype)
+    return ApplyPackedReflectors(packed, tau, eye, nb, ncols, adjoint=False)
