@@ -1,0 +1,296 @@
+"""Condensed-form reductions: HermitianTridiag, Bidiag, Hessenberg.
+
+Reference: src/lapack_like/condense/ (SURVEY §2.4): HermitianTridiag
+(blocked Householder, symv-heavy panels, square-subgrid specialization
+HermitianTridiag.cpp:82-116), Bidiag (Golub-Kahan, for SVD), Hessenberg
+(for Schur).
+
+TPU-native design: the LAPACK latrd-style blocked panel — each panel
+column costs one full-size Hermitian matvec (bandwidth-bound, psum over
+the mesh) and the trailing two-sided update is a pair of full MXU
+matmuls (A -= V W^H + W V^H). The reference's square-subgrid trick
+exists to balance MPI symv cost; XLA's sharding propagation plays that
+role here. (Two-stage band reduction is the known further speedup —
+future work, noted in SURVEY §7.)"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.dmatrix import DistMatrix
+from ..core.environment import Blocksize
+from ..core.types import LOWER, MC, MR, UPPER, UpperOrLower
+from ..blas.gemm import local_gemm
+from ..blas.level1 import MakeHermitian
+from .reflect import ApplyPackedReflectors, householder
+
+
+class TridiagFactorization(NamedTuple):
+    """packed: reflectors below the first subdiagonal; d, e: the REAL
+    tridiagonal; tau: reflector scalars; phase: the diagonal unitary D
+    that absorbs complex subdiagonal phases (A = (QD) T (QD)^H — the
+    reference's 'd' phase-vector idiom)."""
+
+    packed: DistMatrix
+    d: jax.Array
+    e: jax.Array
+    tau: jax.Array
+    phase: jax.Array
+
+
+def _tridiag_panel(a0, a, V, W, tau, k0, nb, m):
+    """latrd-style panel: returns updated (a, V, W, tau). ``a`` carries the
+    packed reflectors; the trailing matrix is a0 - V W^H - W V^H with the
+    stored full V/W (masked by column)."""
+    M = a.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
+    colsM = jax.lax.broadcasted_iota(jnp.int32, (M, V.shape[1]), 1)
+
+    def col_step(j, carry):
+        a, V, W, tau = carry
+        jc = k0 + j
+        colmask = colsM < j  # previously-built panel columns
+        Vp = jnp.where(colmask, V, jnp.zeros_like(V))
+        Wp = jnp.where(colmask, W, jnp.zeros_like(W))
+        acol = jax.lax.dynamic_index_in_dim(a, jc, axis=1, keepdims=False)
+        vrow = jax.lax.dynamic_index_in_dim(V, jc, axis=0, keepdims=False)
+        wrow = jax.lax.dynamic_index_in_dim(W, jc, axis=0, keepdims=False)
+        vrow = jnp.where(colmask[0], vrow, jnp.zeros_like(vrow))
+        wrow = jnp.where(colmask[0], wrow, jnp.zeros_like(wrow))
+        # current column of the updated trailing matrix
+        acur = acol - Vp @ jnp.conj(wrow) - Wp @ jnp.conj(vrow)
+        v, tj, beta = householder(acur, jc + 1, m)
+        tau = tau.at[jc].set(tj)
+        # store the column: diagonal entry, beta at subdiagonal, v below
+        newcol = jnp.where(rows > jc + 1, v, acur)
+        newcol = jnp.where(rows == jc + 1, beta, newcol)
+        a = jax.lax.dynamic_update_index_in_dim(a, newcol[:, None], jc, axis=1)
+        # w = tau A_cur v - (|tau|^2/2)(v^H A_cur v) v  — the exact rank-2
+        # form of the unitary similarity H^H A H with complex tau
+        Av = a0 @ v
+        p = tj * (Av - Vp @ (jnp.conj(Wp.T) @ v) - Wp @ (jnp.conj(Vp.T) @ v))
+        w = p - (jnp.conj(tj) * 0.5 * jnp.vdot(v, p)) * v
+        V = V.at[:, j].set(v)
+        W = W.at[:, j].set(w)
+        return a, V, W, tau
+
+    return jax.lax.fori_loop(0, nb, col_step, (a, V, W, tau))
+
+
+def HermitianTridiag(uplo: UpperOrLower, A: DistMatrix,
+                     blocksize: Optional[int] = None
+                     ) -> TridiagFactorization:
+    """Reduce a Hermitian matrix to real symmetric tridiagonal form,
+    A = Q T Q^H (reference: condense/HermitianTridiag.cpp:60-130, lower
+    variant; the uplo=UPPER case is normalised through the lower path)."""
+    nb = blocksize or Blocksize()
+    Af = MakeHermitian(uplo, A.redistribute(MC, MR))
+    a = Af.data
+    M = a.shape[0]
+    m = A.m
+    ncols = max(m - 2, 0)
+    nblk = (ncols + nb - 1) // nb if ncols else 0
+    tau = jnp.zeros((M,), a.dtype)
+
+    for b in range(nblk):
+        k0 = b * nb
+        w = min(nb, ncols - k0)
+        a0 = a  # frozen copy for panel matvecs
+        V = jnp.zeros((M, w), a.dtype)
+        W = jnp.zeros((M, w), a.dtype)
+        a, V, W, tau = _tridiag_panel(a0, a, V, W, tau, k0, w, m)
+        # two-sided trailing update: only touches columns >= k0 + w
+        colsN = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+        upd = local_gemm(V, jnp.conj(W.T)) + local_gemm(W, jnp.conj(V.T))
+        right = colsN >= k0 + w
+        a = jnp.where(right, a - upd, a)
+
+    d = jnp.real(jnp.diagonal(a))
+    e_c = jnp.diagonal(a, -1)
+    if jnp.iscomplexobj(a):
+        mag = jnp.abs(e_c)
+        sign = jnp.where(mag == 0, jnp.ones_like(e_c),
+                         e_c / jnp.where(mag == 0, 1, mag))
+        phase = jnp.concatenate(
+            [jnp.ones((1,), a.dtype), jnp.cumprod(sign)])
+        e = mag
+    else:
+        phase = jnp.ones((M,), a.dtype)[: e_c.shape[0] + 1]
+        e = e_c
+    out = Af.with_data(Af.mask_padding(a))
+    return TridiagFactorization(out, d, e, tau, phase)
+
+
+def tridiag_apply_q(fact: TridiagFactorization, B: jax.Array, adjoint: bool,
+                    blocksize: Optional[int] = None) -> jax.Array:
+    """Backtransform: B := Q B or Q^H B with Q from the tridiagonal
+    reduction (reference: condense/HermitianTridiag/ApplyQ.hpp). The
+    effective Q includes the phase diagonal: Q_eff = Q_householder D."""
+    nb = blocksize or Blocksize()
+    m = fact.packed.m
+    ncols = max(m - 2, 0)
+    phase = jnp.ones((B.shape[0],), fact.packed.dtype).at[
+        : fact.phase.shape[0]].set(fact.phase.astype(fact.packed.dtype))
+    if adjoint:
+        if ncols:
+            B = ApplyPackedReflectors(fact.packed.data, fact.tau, B, nb,
+                                      ncols, adjoint=True, offset=1)
+        return jnp.conj(phase)[:, None] * B
+    B = phase[:, None] * B
+    if ncols == 0:
+        return B
+    return ApplyPackedReflectors(fact.packed.data, fact.tau, B, nb, ncols,
+                                 adjoint=False, offset=1)
+
+
+# ---------------------------------------------------------------------------
+# Bidiagonalization (reference: condense/Bidiag.cpp + Bidiag/)
+# ---------------------------------------------------------------------------
+
+
+class BidiagFactorization(NamedTuple):
+    """A = (U D_l) B_real (V D_r)^H: d/e are the REAL bidiagonal; phaseU/
+    phaseV the diagonal unitaries absorbing complex phases (the
+    reference's 'tP/tQ phase' handling in condense/Bidiag)."""
+
+    packed: DistMatrix
+    d: jax.Array       # real main diagonal
+    e: jax.Array       # real superdiagonal
+    tauP: jax.Array    # left (column) reflectors
+    tauQ: jax.Array    # right (row) reflectors
+    phaseU: jax.Array
+    phaseV: jax.Array
+
+
+def Bidiag(A: DistMatrix) -> BidiagFactorization:
+    """Golub-Kahan upper bidiagonalization A = U B V^H for m >= n
+    (reference: condense/Bidiag.cpp). Unblocked full-width masked updates;
+    each step is two rank-1 MXU updates."""
+    Am = A.redistribute(MC, MR)
+    a = Am.data
+    M, N = a.shape
+    m, n = A.m, A.n
+    if m < n:
+        raise ValueError("Bidiag here requires m >= n (use the adjoint)")
+    rowsv = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
+    colsv = jax.lax.broadcasted_iota(jnp.int32, (N,), 0)
+    tauP0 = jnp.zeros((N,), a.dtype)
+    tauQ0 = jnp.zeros((N,), a.dtype)
+
+    def step(j, carry):
+        a, tauP, tauQ = carry
+        # left reflector: zero column j below the diagonal
+        x = jax.lax.dynamic_index_in_dim(a, j, axis=1, keepdims=False)
+        v, tj, beta = householder(x, j, m)
+        tauP = tauP.at[j].set(tj)
+        right = colsv > j
+        Amask = jnp.where(right[None, :], a, jnp.zeros_like(a))
+        wv = local_gemm(jnp.conj(v)[None, :], Amask)
+        a = a - tj * jnp.outer(v, wv[0])
+        newcol = jnp.where(rowsv > j, v, x).at[j].set(beta)
+        a = jax.lax.dynamic_update_index_in_dim(a, newcol[:, None], j, axis=1)
+        # right reflector: zero row j right of the superdiagonal
+        y = jax.lax.dynamic_index_in_dim(a, j, axis=0, keepdims=False)
+        u, sj, gamma = householder(jnp.conj(y), j + 1, n)
+        tauQ = tauQ.at[j].set(sj)
+        below = rowsv > j
+        Amask2 = jnp.where(below[:, None], a, jnp.zeros_like(a))
+        wu = local_gemm(Amask2, u[:, None])  # A u
+        a = a - jnp.conj(sj) * jnp.outer(wu[:, 0], jnp.conj(u))
+        newrow = jnp.where(colsv > j + 1, jnp.conj(u), y)
+        newrow = jnp.where(colsv == j + 1, jnp.conj(gamma), newrow)
+        a = jax.lax.dynamic_update_index_in_dim(a, newrow[None, :], j, axis=0)
+        return a, tauP, tauQ
+
+    a, tauP, tauQ = jax.lax.fori_loop(0, n, step, (a, tauP0, tauQ0))
+    dc = jnp.diagonal(a)[:N]
+    ec = jnp.diagonal(a, 1)[: N - 1]
+    if jnp.iscomplexobj(a):
+        def sgn(z):
+            az = jnp.abs(z)
+            return jnp.where(az == 0, jnp.ones_like(z),
+                             z / jnp.where(az == 0, 1, az))
+
+        # phi_l[j+1] = phi_l[j] * conj(sign(e_j)) * sign(d_{j+1})
+        sd, se = sgn(dc), sgn(ec)
+
+        def rec(j, pl):
+            val = pl[j] * jnp.conj(se[j]) * sd[j + 1]
+            return pl.at[j + 1].set(val)
+
+        pl0 = jnp.ones((N,), a.dtype).at[0].set(sd[0])
+        phaseU = jax.lax.fori_loop(0, N - 1, rec, pl0)
+        # phi_r[j] = phi_l[j] * conj(sign(d_j))
+        phaseV = phaseU * jnp.conj(sd)
+        d = jnp.abs(dc)
+        e = jnp.abs(ec)
+    else:
+        phaseU = jnp.ones((N,), a.dtype)
+        phaseV = jnp.ones((N,), a.dtype)
+        d = dc
+        e = ec
+    out = Am.with_data(Am.mask_padding(a))
+    return BidiagFactorization(out, d, e, tauP, tauQ, phaseU, phaseV)
+
+
+# ---------------------------------------------------------------------------
+# Hessenberg reduction (reference: condense/Hessenberg.cpp)
+# ---------------------------------------------------------------------------
+
+
+class HessenbergFactorization(NamedTuple):
+    packed: DistMatrix
+    tau: jax.Array
+
+
+def Hessenberg(uplo: UpperOrLower, A: DistMatrix) -> HessenbergFactorization:
+    """Reduce to upper Hessenberg form A = Q H Q^H
+    (reference: condense/Hessenberg.cpp; unblocked two-sided sweeps)."""
+    Am = A.redistribute(MC, MR)
+    a = Am.data
+    M = a.shape[0]
+    m = A.m
+    rowsv = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
+    tau0 = jnp.zeros((M,), a.dtype)
+    ncols = max(m - 2, 0)
+
+    def step(j, carry):
+        a, tau = carry
+        x = jax.lax.dynamic_index_in_dim(a, j, axis=1, keepdims=False)
+        v, tj, beta = householder(x, j + 1, m)
+        tau = tau.at[j].set(tj)
+        # left: A := H A  (rows j+1.., all cols > j)
+        colsv = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
+        right = colsv > j
+        Amask = jnp.where(right[None, :], a, jnp.zeros_like(a))
+        w = local_gemm(jnp.conj(v)[None, :], Amask)
+        a = a - tj * jnp.outer(v, w[0])
+        # right: A := A H  (all rows, cols j+1..)
+        Av = local_gemm(a, v[:, None])
+        a = a - jnp.conj(tj) * jnp.outer(Av[:, 0], jnp.conj(v))
+        # column j was untouched by both masked applications; repack it:
+        # data rows <= j, beta at the subdiagonal, reflector v below
+        head = jax.lax.dynamic_index_in_dim(a, j, axis=1, keepdims=False)
+        newcol = jnp.where(rowsv > j + 1, v, head)
+        newcol = newcol.at[j + 1].set(beta)
+        a = jax.lax.dynamic_update_index_in_dim(a, newcol[:, None], j, axis=1)
+        return a, tau
+
+    a, tau = jax.lax.fori_loop(0, ncols, step, (a, tau0))
+    out = Am.with_data(Am.mask_padding(a))
+    return HessenbergFactorization(out, tau)
+
+
+def hessenberg_apply_q(fact: HessenbergFactorization, B: jax.Array,
+                       adjoint: bool, blocksize: Optional[int] = None
+                       ) -> jax.Array:
+    nb = blocksize or Blocksize()
+    m = fact.packed.m
+    ncols = max(m - 2, 0)
+    if ncols == 0:
+        return B
+    return ApplyPackedReflectors(fact.packed.data, fact.tau, B, nb, ncols,
+                                 adjoint=adjoint, offset=1)

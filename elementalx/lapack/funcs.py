@@ -1,0 +1,176 @@
+"""Matrix functions: inverses, sign, square root.
+
+Reference: src/lapack_like/funcs/ — Inverse (LU-based general, HPD,
+triangular), Pseudoinverse (SVD), Sign (Newton with determinant scaling,
+funcs/Sign.cpp), SquareRoot (Newton), HermitianFunction (eig + f(Lambda)).
+
+All iterations are matmul/solve-dominated — exactly what the MXU wants;
+each Newton step is a distributed LU solve."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.dmatrix import DistMatrix
+from ..core.types import (
+    ADJOINT,
+    LEFT,
+    LOWER,
+    MC,
+    MR,
+    NON_UNIT,
+    NORMAL,
+    UNIT,
+    UPPER,
+    UnitOrNonUnit,
+    UpperOrLower,
+)
+from ..blas.gemm import Gemm
+from ..blas.level1 import FillDiagonal, MakeTrapezoidal, Zero
+from ..blas.trsm import Trsm
+
+
+def _identity_like(A: DistMatrix) -> DistMatrix:
+    return FillDiagonal(Zero(A), 1.0)
+
+
+def TriangularInverse(uplo: UpperOrLower, diag: UnitOrNonUnit,
+                      A: DistMatrix) -> DistMatrix:
+    """inv of a triangular matrix (reference: funcs/Inverse/Triangular.cpp)
+    via the distributed blocked Trsm against I."""
+    I = _identity_like(A.redistribute(MC, MR))
+    X = Trsm(LEFT, uplo, NORMAL, diag, 1.0, A, I)
+    return MakeTrapezoidal(uplo, X)
+
+
+def Inverse(A: DistMatrix) -> DistMatrix:
+    """General inverse via pivoted LU (reference: funcs/Inverse/General.cpp)."""
+    from .lu import LU, SolveAfter
+
+    F, P = LU(A)
+    I = _identity_like(A.redistribute(MC, MR))
+    return SolveAfter(NORMAL, F, P, I)
+
+
+def HPDInverse(uplo: UpperOrLower, A: DistMatrix) -> DistMatrix:
+    """Reference: funcs/Inverse/HPD.cpp (Cholesky-based)."""
+    from .cholesky import Cholesky, SolveAfter as CholSolve
+
+    L = Cholesky(uplo, A)
+    I = _identity_like(A.redistribute(MC, MR))
+    return CholSolve(uplo, NORMAL, L, I)
+
+
+def SymmetricInverse(uplo: UpperOrLower, A: DistMatrix,
+                     conjugate: bool = False) -> DistMatrix:
+    """Reference: funcs/Inverse/Symmetric.cpp (LDL-based)."""
+    from ..blas.level1 import MakeSymmetric
+    from .ldl import LDL, SolveAfter as LDLSolve
+
+    Af = MakeSymmetric(uplo, A.redistribute(MC, MR), conjugate=conjugate)
+    F = LDL(Af, conjugate=conjugate)
+    I = _identity_like(Af)
+    return LDLSolve(F, I, conjugate=conjugate)
+
+
+def HermitianInverse(uplo: UpperOrLower, A: DistMatrix) -> DistMatrix:
+    return SymmetricInverse(uplo, A, conjugate=True)
+
+
+def Pseudoinverse(A: DistMatrix, tol: Optional[float] = None) -> DistMatrix:
+    """Moore-Penrose via SVD (reference: funcs/Pseudoinverse.cpp)."""
+    from ..blas.level1 import DiagonalScale, Adjoint
+    from .svd import SVD
+
+    U, s, V = SVD(A)
+    eps = jnp.finfo(jnp.real(A.data).dtype).eps
+    cutoff = (tol if tol is not None
+              else max(A.m, A.n) * eps) * s[0]
+    sinv = jnp.where(s > cutoff, 1.0 / jnp.where(s == 0, 1, s),
+                     jnp.zeros_like(s))
+    # pinv = V diag(sinv) U^H
+    Vd = V.redistribute(MC, MR)
+    k = sinv.shape[0]
+    scal = jnp.zeros((Vd.data.shape[1],), Vd.dtype).at[:k].set(
+        sinv.astype(Vd.dtype))
+    Vs = Vd.with_data(Vd.data * scal[None, :])
+    return Gemm(NORMAL, ADJOINT, 1.0, Vs, U)
+
+
+class SignCtrl:
+    """Reference: include/El/lapack_like/funcs.hpp SignCtrl."""
+
+    def __init__(self, max_its: int = 100, tol: float = 0.0,
+                 power: float = 1.0, scaling: str = "determinant"):
+        self.max_its = max_its
+        self.tol = tol
+        self.scaling = scaling
+
+
+def Sign(A: DistMatrix, ctrl: Optional[SignCtrl] = None) -> DistMatrix:
+    """Matrix sign via scaled Newton iteration
+    X_{k+1} = (mu X + (mu X)^{-1}) / 2 with determinant scaling
+    (reference: funcs/Sign.cpp)."""
+    ctrl = ctrl or SignCtrl()
+    from .lu import LU, SolveAfter
+    from .props import SafeDeterminant
+
+    X = A.redistribute(MC, MR)
+    n = A.m
+    eps = jnp.finfo(jnp.real(X.data).dtype).eps
+    tol = ctrl.tol or n * eps
+    # fixed-trip Newton loop (jit-friendly); determinant scaling each step
+    its = min(ctrl.max_its, 30)
+    for _ in range(its):
+        sp = SafeDeterminant(X)
+        mu = jnp.exp(-sp.kappa).real.astype(jnp.real(X.data).dtype)
+        Xs = X.with_data(X.data * mu.astype(X.dtype))
+        Xinv = Inverse(Xs)
+        newd = 0.5 * (Xs.data + Xinv.data)
+        diff = jnp.linalg.norm(newd - X.data)
+        X = X.with_data(newd)
+        # early exit only outside jit
+        try:
+            if float(diff) <= float(tol) * float(jnp.linalg.norm(newd)):
+                break
+        except (jax.errors.TracerArrayConversionError, TypeError):
+            pass
+    return X
+
+
+def SquareRoot(A: DistMatrix, max_its: int = 30) -> DistMatrix:
+    """Principal square root via the Denman-Beavers iteration
+    (reference: funcs/SquareRoot.cpp Newton variant):
+    Y_{k+1} = (Y_k + Z_k^{-1})/2, Z_{k+1} = (Z_k + Y_k^{-1})/2."""
+    Y = A.redistribute(MC, MR)
+    Z = _identity_like(Y)
+    for _ in range(max_its):
+        Yinv = Inverse(Y)
+        Zinv = Inverse(Z)
+        Y2 = Y.with_data(0.5 * (Y.data + Zinv.data))
+        Z2 = Z.with_data(0.5 * (Z.data + Yinv.data))
+        Y, Z = Y2, Z2
+    return Y
+
+
+def HPSDSquareRoot(uplo: UpperOrLower, A: DistMatrix) -> DistMatrix:
+    """Hermitian PSD square root via eigendecomposition
+    (reference: funcs/SquareRoot.cpp HPSD path)."""
+    from ..blas.level3 import HermitianFromEVD
+    from .hermitian_eig import HermitianEig
+
+    w, Q = HermitianEig(uplo, A)
+    wc = jnp.where(w > 0, jnp.sqrt(jnp.where(w > 0, w, 0)), 0.0)
+    return HermitianFromEVD(uplo, Q, wc)
+
+
+def HermitianFunction(uplo: UpperOrLower, A: DistMatrix, f) -> DistMatrix:
+    """A := Q f(Lambda) Q^H (reference: funcs/HermitianFunction.cpp)."""
+    from ..blas.level3 import HermitianFromEVD
+    from .hermitian_eig import HermitianEig
+
+    w, Q = HermitianEig(uplo, A)
+    return HermitianFromEVD(uplo, Q, f(w))

@@ -1,0 +1,215 @@
+"""Matrix properties: norms, condition numbers, determinants.
+
+Reference: src/lapack_like/props/ — Norm family (Frobenius via scaled
+squares + two-stage AllReduce, props/Norm/Frobenius.cpp:98-112; One/
+Infinity/Max/Entrywise/Zero; Two via SVD; TwoEstimate via power
+iteration; KyFan/Schatten/Nuclear), Condition, Determinant (SafeProduct
+off LU), Trace, Inertia.
+
+On TPU every norm is one masked reduction XLA turns into on-chip
+tree-reduce + psum."""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.dmatrix import DistMatrix
+from ..core.types import MC, MR, NORMAL, UpperOrLower
+from ..blas.level1 import (
+    ColumnNorms,
+    MakeSymmetric,
+    MaxAbs,
+    Nrm2,
+    Trace,  # noqa: F401  (re-export; reference keeps Trace in props)
+)
+
+
+def FrobeniusNorm(A: DistMatrix) -> jax.Array:
+    """Reference: props/Norm/Frobenius.cpp (scaled-squares)."""
+    return Nrm2(A)
+
+
+def MaxNorm(A: DistMatrix) -> jax.Array:
+    return MaxAbs(A)
+
+
+def OneNorm(A: DistMatrix) -> jax.Array:
+    """max column absolute sum (reference: props/Norm/One.hpp)."""
+    return jnp.max(jnp.sum(jnp.abs(A.data), axis=0))
+
+
+def InfinityNorm(A: DistMatrix) -> jax.Array:
+    """max row absolute sum (reference: props/Norm/Infinity.hpp)."""
+    return jnp.max(jnp.sum(jnp.abs(A.data), axis=1))
+
+
+def EntrywiseNorm(A: DistMatrix, p: float = 1.0) -> jax.Array:
+    from ..blas.level1 import EntrywiseNorm as _e
+
+    return _e(A, p)
+
+
+def ZeroNorm(A: DistMatrix, tol: float = 0.0) -> jax.Array:
+    """number of nonzeros (reference: props/Norm/Zero.hpp)."""
+    return jnp.sum((jnp.abs(A.data) > tol).astype(jnp.int32))
+
+
+def TwoNormEstimate(A: DistMatrix, tol: float = 1e-6, max_its: int = 100
+                    ) -> jax.Array:
+    """Power iteration on A^H A (reference: props/Norm/TwoEstimate.hpp)."""
+    d = A.data
+    rdt = jnp.real(d).dtype
+    key = jax.random.key(17)
+    x = jax.random.normal(key, (d.shape[1],), rdt).astype(d.dtype)
+
+    def body(_, x):
+        y = d @ x
+        z = jnp.conj(d.T) @ y
+        nz = jnp.sqrt(jnp.sum(jnp.abs(z) ** 2))
+        return z / jnp.where(nz == 0, 1, nz)
+
+    x = jax.lax.fori_loop(0, max_its, body, x)
+    y = d @ x
+    return jnp.sqrt(jnp.sum(jnp.abs(y) ** 2)).astype(rdt)
+
+
+def TwoNorm(A: DistMatrix) -> jax.Array:
+    """Largest singular value (reference: props/Norm/Two.hpp, via SVD)."""
+    from .svd import SingularValues
+
+    s = SingularValues(A)
+    return s[0]
+
+
+def SchattenNorm(A: DistMatrix, p: float) -> jax.Array:
+    """(sum sigma_i^p)^(1/p) (reference: props/Norm/Schatten.hpp)."""
+    from .svd import SingularValues
+
+    s = SingularValues(A)
+    return jnp.sum(s ** p) ** (1.0 / p)
+
+
+def NuclearNorm(A: DistMatrix) -> jax.Array:
+    return SchattenNorm(A, 1.0)
+
+
+def KyFanNorm(A: DistMatrix, k: int) -> jax.Array:
+    from .svd import SingularValues
+
+    s = SingularValues(A)
+    return jnp.sum(s[:k])
+
+
+def SymmetricMaxNorm(uplo: UpperOrLower, A: DistMatrix) -> jax.Array:
+    return MaxAbs(MakeSymmetric(uplo, A.redistribute(MC, MR)))
+
+
+# ---------------------------------------------------------------------------
+# determinant (reference: props/Determinant.cpp — SafeProduct off LU)
+# ---------------------------------------------------------------------------
+
+
+class SafeProduct(NamedTuple):
+    """rho * exp(kappa * n) representation (reference:
+    include/El/lapack_like/props.hpp SafeProduct)."""
+
+    rho: jax.Array    # sign / phase
+    kappa: jax.Array  # (1/n) sum log |d_i|
+    n: int
+
+
+def _perm_parity(perm: jax.Array, m: int) -> jax.Array:
+    """(-1)^inversions of the image vector, counted with one masked outer
+    comparison (O(n^2) on the VPU — trivial next to the LU itself)."""
+    p = perm[:]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (p.shape[0], p.shape[0]), 0)
+    jdx = jax.lax.broadcasted_iota(jnp.int32, (p.shape[0], p.shape[0]), 1)
+    live = (idx < m) & (jdx < m)
+    inv = jnp.sum(jnp.where(live & (idx < jdx) & (p[:, None] > p[None, :]),
+                            1, 0))
+    return 1 - 2 * (inv % 2)
+
+
+def SafeDeterminant(A: DistMatrix) -> SafeProduct:
+    from .lu import LU
+
+    F, P = LU(A)
+    d = jnp.diagonal(F.data)
+    idx = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
+    live = idx < A.m
+    mag = jnp.where(live, jnp.abs(d), jnp.ones_like(jnp.abs(d)))
+    kappa = jnp.sum(jnp.log(mag)) / A.m
+    phase = jnp.where(live, d / jnp.where(mag == 0, 1, mag).astype(d.dtype),
+                      jnp.ones_like(d))
+    rho = jnp.prod(phase) * _perm_parity(P.perm, A.m).astype(d.dtype)
+    return SafeProduct(rho, kappa, A.m)
+
+
+def Determinant(A: DistMatrix) -> jax.Array:
+    sp = SafeDeterminant(A)
+    return sp.rho * jnp.exp(sp.kappa * sp.n)
+
+
+def SafeHPDDeterminant(uplo: UpperOrLower, A: DistMatrix) -> SafeProduct:
+    """Reference: props/Determinant.cpp HPD path via Cholesky."""
+    from .cholesky import Cholesky
+
+    L = Cholesky(uplo, A)
+    d = jnp.real(jnp.diagonal(L.data))
+    idx = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
+    live = idx < A.m
+    mag = jnp.where(live, jnp.abs(d), jnp.ones_like(d))
+    kappa = 2.0 * jnp.sum(jnp.log(mag)) / A.m
+    return SafeProduct(jnp.ones((), d.dtype), kappa, A.m)
+
+
+def HPDDeterminant(uplo: UpperOrLower, A: DistMatrix) -> jax.Array:
+    sp = SafeHPDDeterminant(uplo, A)
+    return jnp.exp(sp.kappa * sp.n)
+
+
+# ---------------------------------------------------------------------------
+# condition numbers (reference: props/Condition.cpp)
+# ---------------------------------------------------------------------------
+
+
+def Condition(A: DistMatrix, norm: str = "two") -> jax.Array:
+    if norm == "two":
+        return TwoCondition(A)
+    if norm == "one":
+        return OneCondition(A)
+    if norm == "infinity":
+        return InfinityCondition(A)
+    if norm == "frobenius":
+        return FrobeniusCondition(A)
+    raise ValueError(norm)
+
+
+def _with_inverse(A: DistMatrix, normfn) -> jax.Array:
+    from .funcs import Inverse
+
+    Ainv = Inverse(A)
+    return normfn(A) * normfn(Ainv)
+
+
+def OneCondition(A: DistMatrix) -> jax.Array:
+    return _with_inverse(A, OneNorm)
+
+
+def InfinityCondition(A: DistMatrix) -> jax.Array:
+    return _with_inverse(A, InfinityNorm)
+
+
+def FrobeniusCondition(A: DistMatrix) -> jax.Array:
+    return _with_inverse(A, FrobeniusNorm)
+
+
+def TwoCondition(A: DistMatrix) -> jax.Array:
+    from .svd import SingularValues
+
+    s = SingularValues(A)
+    k = min(A.m, A.n)
+    return s[0] / s[k - 1]

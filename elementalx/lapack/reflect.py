@@ -36,14 +36,18 @@ def householder(x: jax.Array, j, m: int) -> Tuple[jax.Array, jax.Array, jax.Arra
     xb = jnp.where(active_below, x, jnp.zeros_like(x))
     sigma2 = jnp.sum(jnp.abs(xb) ** 2)
     norm = jnp.sqrt(jnp.abs(alpha) ** 2 + sigma2)
-    rdt = norm.dtype
+    # Hermitian-reflector convention: beta = -sign(alpha)*norm (complex
+    # sign), which makes tau REAL and H = I - tau v v^H Hermitian unitary.
+    # Phases that LAPACK's real-beta convention would absorb into complex
+    # tau are instead handled by the drivers' diagonal phase vectors (the
+    # reference's 'd' vector idiom in QR/condense).
     beta = (-_sign(alpha) * norm.astype(x.dtype))
     denom = alpha - beta
-    trivial = (sigma2 == 0)
+    trivial = sigma2 == 0
     safe_denom = jnp.where(trivial, jnp.ones((), x.dtype), denom)
     v = jnp.where(active_below, xb / safe_denom, jnp.zeros_like(x))
     v = v.at[j].set(jnp.ones((), x.dtype))
-    # tau = (beta - alpha) / beta
+    # tau = (beta - alpha) / beta  (real-valued under this convention)
     tau = jnp.where(trivial, jnp.zeros((), x.dtype),
                     (beta - alpha) / jnp.where(beta == 0, 1, beta))
     beta = jnp.where(trivial, alpha, beta)
@@ -82,29 +86,33 @@ def apply_block_reflector(V: jax.Array, T: jax.Array, A: jax.Array,
     return A - local_gemm(V, local_gemm(Tm, W))
 
 
-def extract_panel_V(a: jax.Array, k0: int, nb: int) -> jax.Array:
+def extract_panel_V(a: jax.Array, k0: int, nb: int, offset: int = 0
+                    ) -> jax.Array:
     """Unpack the unit-lower-trapezoidal V of panel columns [k0, k0+nb)
     from the packed factorization (reference: the 'packed reflectors'
-    storage convention)."""
+    storage convention). ``offset`` shifts the unit row below the
+    diagonal (offset=1 for tridiag/Hessenberg reflectors)."""
     M = a.shape[0]
     panel = jax.lax.dynamic_slice(a, (0, k0), (M, nb))
     rows = jax.lax.broadcasted_iota(jnp.int32, (M, nb), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (M, nb), 1) + k0
+    cols = jax.lax.broadcasted_iota(jnp.int32, (M, nb), 1) + k0 + offset
     V = jnp.where(rows > cols, panel, jnp.zeros_like(panel))
     return jnp.where(rows == cols, jnp.ones((), a.dtype), V)
 
 
 def ApplyPackedReflectors(packed: jax.Array, tau: jax.Array, A: jax.Array,
-                          nb: int, ncols: int, adjoint: bool) -> jax.Array:
+                          nb: int, ncols: int, adjoint: bool,
+                          offset: int = 0) -> jax.Array:
     """Apply Q (or Q^H) held as packed reflectors to A from the left
     (reference: reflect/ApplyPackedReflectors.hpp, vertical-forward-lower
-    case used by QR). ncols = number of reflector columns (static)."""
+    case used by QR; offset=1 is the condense/ApplyQ storage). ncols =
+    number of reflector columns (static)."""
     nblk = (ncols + nb - 1) // nb
     order = range(nblk) if adjoint else range(nblk - 1, -1, -1)
     for b in order:
         k0 = b * nb
         w = min(nb, ncols - k0)
-        V = extract_panel_V(packed, k0, w)
+        V = extract_panel_V(packed, k0, w, offset)
         t = jax.lax.dynamic_slice(tau, (k0,), (w,))
         T = build_wy_T(V, t)
         A = apply_block_reflector(V, T, A, adjoint)

@@ -1,0 +1,110 @@
+"""Condensed-form reduction tests: Q^H A Q == T (tridiag), Hessenberg
+similarity, and bidiagonal reconstruction."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import elementalx as El
+from elementalx import DistMatrix
+from elementalx.core.types import LOWER
+from elementalx.lapack.condense import (
+    Bidiag,
+    Hessenberg,
+    HermitianTridiag,
+    hessenberg_apply_q,
+    tridiag_apply_q,
+)
+
+
+def _tridiag_dense(d, e, n):
+    T = np.diag(d[:n]) + np.diag(e[: n - 1], -1) + np.diag(e[: n - 1], 1)
+    return T
+
+
+@pytest.mark.parametrize("n", [12, 25])
+@pytest.mark.parametrize("complex_", [False, True], ids=["real", "cplx"])
+def test_hermitian_tridiag(grid, rng, n, complex_):
+    a = rng.standard_normal((n, n))
+    if complex_:
+        a = a + 1j * rng.standard_normal((n, n))
+    a = a + a.conj().T
+    A = DistMatrix.from_global(a, grid=grid)
+    fact = HermitianTridiag(LOWER, A, blocksize=4)
+    d = np.asarray(fact.d)[:n]
+    e = np.asarray(fact.e)[: n - 1]
+    # Q = apply to identity
+    M = fact.packed.data.shape[0]
+    Q = np.asarray(tridiag_apply_q(fact, jnp.eye(M, dtype=fact.packed.dtype),
+                                   adjoint=False, blocksize=4))[:n, :n]
+    orth = np.linalg.norm(np.eye(n) - Q.conj().T @ Q)
+    assert orth < 1e-12, f"Q orthogonality {orth}"
+    T = _tridiag_dense(d, e, n)
+    recon = Q @ T @ Q.conj().T
+    rel = np.linalg.norm(recon - a) / np.linalg.norm(a)
+    assert rel < 1e-12, f"similarity residual {rel}"
+    # subdiagonal must be real even for complex input
+    assert np.max(np.abs(np.imag(np.asarray(fact.d)))) < 1e-12
+
+
+@pytest.mark.parametrize("complex_", [False, True], ids=["real", "cplx"])
+def test_hessenberg(grid, rng, complex_):
+    n = 18
+    a = rng.standard_normal((n, n))
+    if complex_:
+        a = a + 1j * rng.standard_normal((n, n))
+    A = DistMatrix.from_global(a, grid=grid)
+    fact = Hessenberg(LOWER, A)
+    M = fact.packed.data.shape[0]
+    Q = np.asarray(hessenberg_apply_q(
+        fact, jnp.eye(M, dtype=fact.packed.dtype), adjoint=False,
+        blocksize=4))[:n, :n]
+    assert np.linalg.norm(np.eye(n) - Q.conj().T @ Q) < 1e-12
+    H = Q.conj().T @ a @ Q
+    # H should be upper Hessenberg
+    low = np.tril(H, -2)
+    assert np.linalg.norm(low) / np.linalg.norm(a) < 1e-12
+    # packed upper part must agree with H on the Hessenberg region
+    f = fact.packed.global_array()
+    np.testing.assert_allclose(np.triu(f, -1), np.triu(H, -1), atol=1e-10)
+
+
+@pytest.mark.parametrize("complex_", [False, True], ids=["real", "cplx"])
+def test_bidiag(grid, rng, complex_):
+    m, n = 20, 12
+    a = rng.standard_normal((m, n))
+    if complex_:
+        a = a + 1j * rng.standard_normal((m, n))
+    A = DistMatrix.from_global(a, grid=grid)
+    fact = Bidiag(A)
+    f = fact.packed.global_array()
+    d = np.asarray(fact.d)[:n]
+    e = np.asarray(fact.e)[: n - 1]
+    # build U from left reflectors
+    from elementalx.lapack.reflect import ApplyPackedReflectors
+
+    M = fact.packed.data.shape[0]
+    U = np.asarray(ApplyPackedReflectors(
+        fact.packed.data, fact.tauP, jnp.eye(M, dtype=fact.packed.dtype),
+        4, n, adjoint=False))[:m, :m]
+    assert np.linalg.norm(np.eye(m) - U.conj().T @ U) < 1e-11
+    # build V from right reflectors (numpy, straight from the packed rows)
+    V = np.eye(n, dtype=f.dtype)
+    for j in range(n):
+        u = np.zeros(n, dtype=f.dtype)
+        if j + 1 < n:
+            u[j + 1] = 1.0
+            u[j + 2:] = np.conj(f[j, j + 2:n])
+        s = np.asarray(fact.tauQ)[j]
+        V = V @ (np.eye(n) - s * np.outer(u, u.conj()))
+    B = np.zeros((m, n), dtype=f.dtype)
+    B[:n, :n] = np.diag(d) + np.diag(e, 1)
+    pu = np.asarray(fact.phaseU)[:n]
+    pv = np.asarray(fact.phaseV)[:n]
+    Ueff = U[:, :n] * pu[None, :]
+    Veff = V[:, :n] * pv[None, :]
+    recon = Ueff @ B[:n, :n] @ Veff.conj().T
+    rel = np.linalg.norm(recon - a) / np.linalg.norm(a)
+    assert rel < 1e-10, f"bidiag reconstruction {rel}"
+    assert np.all(d >= 0) or not np.iscomplexobj(f)
