@@ -29,4 +29,29 @@ from .blas import (  # noqa: F401
     Trsv,
 )
 from . import lapack  # noqa: F401
-from .lapack import Cholesky, HPDSolve  # noqa: F401
+from .lapack import (  # noqa: F401
+    Cholesky,
+    Condition,
+    Determinant,
+    FrobeniusNorm,
+    HPDSolve,
+    HermitianEig,
+    HermitianTridiag,
+    InfinityNorm,
+    Inverse,
+    LDL,
+    LinearSolve,
+    LQ,
+    LU,
+    MaxNorm,
+    OneNorm,
+    Polar,
+    Pseudoinverse,
+    QR,
+    SVD,
+    Sign,
+    SingularValues,
+    SquareRoot,
+    Trace,
+    TwoNorm,
+)

@@ -315,8 +315,10 @@ def Gemm(
     check_same_grid(A, B, *(() if C is None else (C,)))
     An = _orient(A.redistribute(MC, MR) if A.dist != (MC, MR) else A, orientA)
     Bn = _orient(B.redistribute(MC, MR) if B.dist != (MC, MR) else B, orientB)
-    An = An.redistribute(MC, MR)
-    Bn = Bn.redistribute(MC, MR)
+    An = An.redistribute(MC, MR).canonical()
+    Bn = Bn.redistribute(MC, MR).canonical()
+    if C is not None:
+        C = C.canonical()
     m, k, n = An.m, An.n, Bn.n
     if Bn.m != k:
         raise ValueError(f"Gemm: inner dims mismatch {An.shape} x {Bn.shape}")

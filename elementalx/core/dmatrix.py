@@ -185,6 +185,27 @@ class DistMatrix:
             self, data=data, m=self.m if m is None else m,
             n=self.n if n is None else n)
 
+    def canonical(self) -> "DistMatrix":
+        """Slice/pad ``data`` to the canonical padded shape for (m, n) —
+        some producers (e.g. explicit-Q formation) carry wider buffers."""
+        pm, pn = padded_extent(self.m, self.grid), padded_extent(self.n, self.grid)
+        if self.data.shape == (pm, pn):
+            return self
+        d = self.data[: min(pm, self.data.shape[0]),
+                      : min(pn, self.data.shape[1])]
+        if d.shape != (pm, pn):
+            d = jnp.pad(d, ((0, pm - d.shape[0]), (0, pn - d.shape[1])))
+        return self.with_data(self.mask_like(d))
+
+    def mask_like(self, data: jax.Array) -> jax.Array:
+        """Zero entries outside the logical (m, n) region of ``data``
+        (shape-agnostic variant of mask_padding)."""
+        P, Q = data.shape
+        i = jax.lax.broadcasted_iota(jnp.int32, (P, Q), 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (P, Q), 1)
+        return jnp.where((i < self.m) & (j < self.n), data,
+                         jnp.zeros((), data.dtype))
+
     # ---- padding helpers ----
     def row_mask(self) -> jax.Array:
         """(P, 1) bool: rows < m."""

@@ -7,3 +7,61 @@ from .cholesky import (  # noqa: F401
     HPDSolve,
     ReverseCholesky,
 )
+from . import lu  # noqa: F401
+from .lu import LU, LUFullPiv, LinearSolve  # noqa: F401
+from . import perm  # noqa: F401
+from .perm import Permutation  # noqa: F401
+from . import qr  # noqa: F401
+from .qr import QR, ApplyQ, CholeskyQR, ColPivQR, ExplicitQR, TSQR  # noqa: F401
+from . import lq  # noqa: F401
+from .lq import LQ, ExplicitLQ, ExplicitRQ  # noqa: F401
+from . import ldl  # noqa: F401
+from .ldl import LDL, Inertia, RegularizedLDL  # noqa: F401
+from . import reflect  # noqa: F401
+from . import condense  # noqa: F401
+from .condense import Bidiag, Hessenberg, HermitianTridiag  # noqa: F401
+from . import tridiag_eig  # noqa: F401
+from .tridiag_eig import HermitianTridiagEig  # noqa: F401
+from . import hermitian_eig  # noqa: F401
+from .hermitian_eig import (  # noqa: F401
+    HermitianEig,
+    HermitianEigCtrl,
+    HermitianGenDefEig,
+    SkewHermitianEig,
+)
+from . import polar  # noqa: F401
+from .polar import HermitianPolar, Polar  # noqa: F401
+from . import svd  # noqa: F401
+from .svd import SVD, HermitianSVD, SingularValues  # noqa: F401
+from . import props  # noqa: F401
+from .props import (  # noqa: F401
+    Condition,
+    Determinant,
+    EntrywiseNorm,
+    FrobeniusNorm,
+    HPDDeterminant,
+    InfinityNorm,
+    KyFanNorm,
+    MaxNorm,
+    NuclearNorm,
+    OneNorm,
+    SchattenNorm,
+    SafeDeterminant,
+    Trace,
+    TwoNorm,
+    TwoNormEstimate,
+    ZeroNorm,
+)
+from . import funcs  # noqa: F401
+from .funcs import (  # noqa: F401
+    HermitianFunction,
+    HermitianInverse,
+    HPDInverse,
+    HPSDSquareRoot,
+    Inverse,
+    Pseudoinverse,
+    Sign,
+    SquareRoot,
+    SymmetricInverse,
+    TriangularInverse,
+)

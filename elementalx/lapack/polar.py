@@ -1,0 +1,94 @@
+"""Polar decomposition via QDWH.
+
+Reference: src/lapack_like/spectral/Polar.cpp (+ Polar/QDWH.hpp): QDWH
+(QR-based dynamically weighted Halley) — the reference's own choice and
+*the* TPU-native spectral primitive: every iteration is one tall QR +
+matmuls, all MXU work, backward stable, <= 6-8 iterations to machine
+precision. Also the engine for the SDC eigensolver/SVD paths."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.dmatrix import DistMatrix
+from ..core.types import ADJOINT, LOWER, MC, MR, NORMAL
+from ..blas.gemm import Gemm, local_gemm
+from .qr import _qr_packed
+from .reflect import ApplyPackedReflectors
+
+
+def _qdwh_params(l: jax.Array):
+    """Dynamically-weighted Halley coefficients (Nakatsukasa-Bai-Gygi)."""
+    l2 = l * l
+    dd = jnp.cbrt(4.0 * (1.0 - l2) / (l2 * l2))
+    sqd = jnp.sqrt(1.0 + dd)
+    inner = 8.0 - 4.0 * dd + 8.0 * (2.0 - l2) / (l2 * sqd)
+    a = sqd + 0.5 * jnp.sqrt(jnp.maximum(inner, 0.0))
+    b = (a - 1.0) ** 2 / 4.0
+    c = a + b - 1.0
+    return a, b, c
+
+
+def qdwh(a: jax.Array, m: int, nb: int = 128, max_its: int = 10,
+         l0: Optional[jax.Array] = None) -> jax.Array:
+    """Unitary polar factor of the (padded, square with identity padding
+    handled by caller) array ``a`` whose logical size is m.
+
+    QR-based iteration:
+      [Q1; Q2] = qr([sqrt(c) X; I]),
+      X <- (b/c) X + (1/sqrt(c)) (a - b/c) Q1 Q2^H
+    """
+    M = a.shape[0]
+    rdt = jnp.real(a).dtype
+    eps = jnp.finfo(rdt).eps
+    # scale so ||X||_2 <= 1 (Frobenius bound)
+    alpha = jnp.sqrt(jnp.sum(jnp.abs(a) ** 2)) + eps
+    X = a / alpha.astype(a.dtype)
+    # lower bound on sigma_min(X); a loose bound only costs iterations
+    l = jnp.asarray(eps if l0 is None else l0, rdt)
+
+    eyeM = jnp.eye(M, dtype=a.dtype)
+
+    for _ in range(max_its):
+        aa, bb, cc = _qdwh_params(jnp.maximum(l, eps))
+        sc = jnp.sqrt(cc).astype(a.dtype)
+        # QR of the stacked [sqrt(c) X; I]; the zero padding of X makes the
+        # corresponding Q1 rows/cols zero, so padding stays zero throughout.
+        stacked = jnp.concatenate([sc * X, eyeM], axis=0)
+        packed, tau = _qr_packed(stacked, 2 * M, M, nb)
+        Q = ApplyPackedReflectors(packed, tau, jnp.eye(2 * M, M, dtype=a.dtype),
+                                  nb, M, adjoint=False)
+        Q1, Q2 = Q[:M], Q[M:]
+        coef = ((aa - bb / cc) / jnp.sqrt(cc)).astype(a.dtype)
+        X = (bb / cc).astype(a.dtype) * X + coef * local_gemm(
+            Q1, jnp.conj(Q2.T))
+        l = l * (aa + bb * l * l) / (1.0 + cc * l * l)
+        l = jnp.minimum(l, 1.0)
+
+    return X
+
+
+def Polar(A: DistMatrix, nb: int = 128) -> Tuple[DistMatrix, DistMatrix]:
+    """A = U P with U unitary (logical block) and P Hermitian PSD
+    (reference: Polar.cpp). Square A."""
+    if A.m != A.n:
+        raise ValueError("Polar here requires square A (QR-reduce first)")
+    Am = A.redistribute(MC, MR)
+    U = qdwh(Am.data, A.m, nb)
+    Udm = Am.with_data(U)
+    # P = U^H A, Hermitian-symmetrised
+    P = Gemm(ADJOINT, NORMAL, 1.0, Udm, Am)
+    Pd = 0.5 * (P.data + jnp.conj(P.data.T))
+    return Udm, P.with_data(Pd)
+
+
+def HermitianPolar(uplo, A: DistMatrix, nb: int = 128
+                   ) -> Tuple[DistMatrix, DistMatrix]:
+    """Polar of a Hermitian matrix = matrix sign pairing
+    (reference: Polar.cpp hermitian path)."""
+    from ..blas.level1 import MakeHermitian
+
+    return Polar(MakeHermitian(uplo, A.redistribute(MC, MR)), nb)

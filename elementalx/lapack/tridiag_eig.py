@@ -1,0 +1,201 @@
+"""Symmetric tridiagonal eigensolver: Sturm bisection + batched inverse
+iteration.
+
+Reference: src/lapack_like/spectral/HermitianTridiagEig.cpp, which
+delegates to the vendored pmrrr (external/pmrrr, C + MPI + pthreads,
+15.8k LoC: plarre.c eigenvalues / plarrv.c eigenvectors, work split over
+ranks and threads).
+
+TPU-native replacement (SURVEY §2.6 plan): the eigenvalue work-queue
+parallelism of pmrrr becomes *data* parallelism — all n eigenvalues are
+bisected simultaneously (a vmapped Sturm-count scan; ~50 fixed
+iterations), then all eigenvectors are computed simultaneously by
+batched twisted-factorization inverse iteration (vmapped O(n) scans).
+Clustered eigenvalues get a masked Gram-Schmidt pass per cluster window.
+Everything is jittable with static shapes."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _sturm_count(d: jax.Array, e: jax.Array, lam: jax.Array) -> jax.Array:
+    """Number of eigenvalues of T strictly below lam, via the standard
+    shifted-LDL^T recurrence (pmrrr's plarre core loop, vectorised over a
+    batch of shifts lam: (k,))."""
+    n = d.shape[0]
+    eps = jnp.finfo(d.dtype).eps
+    scale = jnp.maximum(jnp.max(jnp.abs(d)),
+                        jnp.max(jnp.abs(e)) if e.shape[0] else 0.0)
+    # dlaneg convention: a vanishing pivot is replaced by a tiny NEGATIVE
+    # value (and therefore counted) — an exact eigenvalue hit must not
+    # flip the count
+    floor = eps * eps * jnp.maximum(scale, 1.0)
+    e2 = jnp.concatenate([jnp.zeros((1,), d.dtype), e * e])
+
+    def body(carry, x):
+        q, cnt = carry
+        di, e2i = x
+        q = (di - lam) - e2i / q
+        q = jnp.where(jnp.abs(q) < floor, -floor, q)
+        cnt = cnt + (q < 0)
+        return (q, cnt), None
+
+    q0 = jnp.ones_like(lam)
+    cnt0 = jnp.zeros(lam.shape, jnp.int32)
+    (q, cnt), _ = jax.lax.scan(body, (q0, cnt0), (d, e2))
+    return cnt
+
+
+def _gershgorin(d: jax.Array, e: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    n = d.shape[0]
+    ea = jnp.concatenate([jnp.zeros((1,), d.dtype), jnp.abs(e)])
+    eb = jnp.concatenate([jnp.abs(e), jnp.zeros((1,), d.dtype)])
+    r = ea + eb
+    return jnp.min(d - r), jnp.max(d + r)
+
+
+def tridiag_eigvalsh(d: jax.Array, e: jax.Array, iters: int = 0
+                     ) -> jax.Array:
+    """All eigenvalues of the symmetric tridiagonal (d, e), ascending, by
+    vmapped bisection on the Sturm count."""
+    n = d.shape[0]
+    lo, hi = _gershgorin(d, e)
+    span = jnp.maximum(hi - lo, jnp.finfo(d.dtype).tiny)
+    lo = lo - 1e-3 * span - 1e-30
+    hi = hi + 1e-3 * span + 1e-30
+    its = iters or (70 if d.dtype == jnp.float64 else 40)
+    ks = jnp.arange(n, dtype=jnp.int32)
+    los = jnp.full((n,), lo)
+    his = jnp.full((n,), hi)
+
+    def body(_, carry):
+        los, his = carry
+        mid = 0.5 * (los + his)
+        cnt = _sturm_count(d, e, mid)
+        below = cnt <= ks  # eigenvalue k is above mid
+        los = jnp.where(below, mid, los)
+        his = jnp.where(below, his, mid)
+        return los, his
+
+    los, his = jax.lax.fori_loop(0, its, body, (los, his))
+    return 0.5 * (los + his)
+
+
+def _solve_shifted(d: jax.Array, e: jax.Array, lam: jax.Array,
+                   b: jax.Array) -> jax.Array:
+    """Solve (T - lam I) x = b by LU without pivoting on the tridiagonal
+    (two scans; perturbation keeps it nonsingular). Used for inverse
+    iteration — pivot growth only amplifies the wanted eigenvector."""
+    n = d.shape[0]
+    eps = jnp.finfo(d.dtype).eps
+    dd = d - lam
+
+    # forward elimination: l_i = e_i / u_i ; u_{i+1} = dd_{i+1} - l_i e_i
+    def fwd(carry, x):
+        u_prev = carry
+        ddi, ei_prev = x  # e entering row i (e_{i-1})
+        safe = jnp.where(jnp.abs(u_prev) < eps, eps, u_prev)
+        li = ei_prev / safe
+        ui = ddi - li * ei_prev
+        return ui, (ui, li)
+
+    e_in = jnp.concatenate([jnp.zeros((1,), d.dtype), e])
+    _, (u, l) = jax.lax.scan(fwd, jnp.ones((), d.dtype), (dd, e_in))
+    # but the very first u must be dd[0]:
+    u = u.at[0].set(dd[0])
+
+    # forward substitution L y = b
+    def fsub(y_prev, x):
+        bi, li = x
+        yi = bi - li * y_prev
+        return yi, yi
+
+    _, y = jax.lax.scan(fsub, jnp.zeros((), b.dtype), (b, l))
+
+    # back substitution U x = y (u x_i + e_i x_{i+1} = y_i)
+    e_out = jnp.concatenate([e, jnp.zeros((1,), d.dtype)])
+
+    def bsub(x_next, t):
+        yi, ui, ei = t
+        safe = jnp.where(jnp.abs(ui) < eps, eps, ui)
+        xi = (yi - ei * x_next) / safe
+        return xi, xi
+
+    _, xr = jax.lax.scan(bsub, jnp.zeros((), b.dtype),
+                         (y[::-1], u[::-1], e_out[::-1]))
+    return xr[::-1]
+
+
+def tridiag_eig(d: jax.Array, e: jax.Array, invit_steps: int = 3,
+                ortho_window: int = 8, ortho_passes: int = 2
+                ) -> Tuple[jax.Array, jax.Array]:
+    """(w, Z): full eigendecomposition of the symmetric tridiagonal.
+
+    Eigenvectors by vmapped inverse iteration from the bisection values,
+    with close-eigenvalue separation perturbation and windowed
+    Gram-Schmidt sweeps for clusters (the role pmrrr's representation
+    trees play; same O(n^2) vector work, batched)."""
+    n = d.shape[0]
+    w = tridiag_eigvalsh(d, e)
+    eps = jnp.finfo(d.dtype).eps
+    tnorm = jnp.maximum(jnp.max(jnp.abs(d)), jnp.max(jnp.abs(e)) if
+                        e.shape[0] else 0.0)
+    # perturb shifts within clusters so iteration targets split
+    gap_tol = eps * jnp.maximum(tnorm, 1.0)
+    idx = jnp.arange(n)
+    shifts = w + (idx - n / 2) * gap_tol * 2.0
+
+    key = jax.random.key(7)
+    b0 = jax.random.normal(key, (n, n), d.dtype)  # row i: rhs for eig i
+
+    def one_vec(lam, b):
+        def it(_, x):
+            x = _solve_shifted(d, e, lam, x)
+            nx = jnp.sqrt(jnp.sum(x * x))
+            return x / jnp.where(nx == 0, 1, nx)
+
+        return jax.lax.fori_loop(0, invit_steps, it, b)
+
+    Z = jax.vmap(one_vec)(shifts, b0)  # (n, n): row i = eigvec i
+    Z = Z.T  # columns are eigenvectors
+
+    # windowed modified Gram-Schmidt passes to orthogonalise clusters:
+    # vectors whose eigenvalues are within the window are near-parallel
+    # risks; subtract projections onto the previous `ortho_window` columns.
+    def mgs_pass(Z):
+        def col(j, Z):
+            zj = jax.lax.dynamic_index_in_dim(Z, j, axis=1, keepdims=False)
+            cols = jnp.arange(n)
+            prev = (cols < j) & (cols >= j - ortho_window)
+            close = jnp.abs(w - w[j]) < 1e3 * jnp.sqrt(eps) * jnp.maximum(tnorm, 1)
+            use = prev & close
+            proj = Z @ (jnp.where(use, Z.T @ zj, jnp.zeros((n,), Z.dtype)))
+            zj = zj - proj
+            nz = jnp.sqrt(jnp.sum(zj * zj))
+            zj = zj / jnp.where(nz == 0, 1, nz)
+            return jax.lax.dynamic_update_index_in_dim(
+                Z, zj[:, None], j, axis=1)
+
+        return jax.lax.fori_loop(0, n, col, Z)
+
+    for _ in range(ortho_passes):
+        Z = mgs_pass(Z)
+
+    # final Rayleigh-quotient refinement of eigenvalues
+    Td = (d[:, None] * Z + jnp.concatenate(
+        [jnp.zeros((1, n), Z.dtype), e[:, None] * Z[:-1]]) + jnp.concatenate(
+        [e[:, None] * Z[1:], jnp.zeros((1, n), Z.dtype)]))
+    w_ref = jnp.sum(Z * Td, axis=0)
+    order = jnp.argsort(w_ref)
+    return w_ref[order], Z[:, order]
+
+
+def HermitianTridiagEig(d: jax.Array, e: jax.Array, vectors: bool = True):
+    """El-style driver (reference: HermitianTridiagEig.cpp)."""
+    if vectors:
+        return tridiag_eig(d, e)
+    return tridiag_eigvalsh(d, e)

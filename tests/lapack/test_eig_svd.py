@@ -1,0 +1,138 @@
+"""HermitianEig / SVD tests (reference: tests/lapack_like/HermitianEig.cpp,
+SVD.cpp: eigenvalue match, residual ||A Q - Q diag(w)||, orthogonality)."""
+
+import numpy as np
+import pytest
+
+import elementalx as El
+from elementalx import DistMatrix
+from elementalx.core.types import LOWER, UPPER
+from elementalx.lapack.hermitian_eig import (
+    HermitianEig,
+    HermitianGenDefEig,
+    SkewHermitianEig,
+)
+from elementalx.lapack.svd import SVD, HermitianSVD, SingularValues
+
+
+@pytest.mark.parametrize("n", [16, 48])
+@pytest.mark.parametrize("complex_", [False, True], ids=["real", "cplx"])
+def test_hermitian_eig(grid, rng, n, complex_):
+    a = rng.standard_normal((n, n))
+    if complex_:
+        a = a + 1j * rng.standard_normal((n, n))
+    a = a + a.conj().T
+    A = DistMatrix.from_global(a, grid=grid)
+    w, Q = HermitianEig(LOWER, A, ctrl=None)
+    w = np.asarray(w)
+    q = Q.global_array()
+    wref = np.linalg.eigvalsh(a)
+    assert np.max(np.abs(w - wref)) / np.max(np.abs(wref)) < 1e-12
+    resid = np.linalg.norm(a @ q - q * w[None, :]) / np.linalg.norm(a)
+    orth = np.linalg.norm(np.eye(n) - q.conj().T @ q)
+    assert resid < 1e-12, f"eigpair residual {resid}"
+    assert orth < 1e-12, f"orthogonality {orth}"
+
+
+def test_hermitian_eig_values_only(grid, rng):
+    n = 20
+    a = rng.standard_normal((n, n))
+    a = a + a.T
+    w = HermitianEig(UPPER, DistMatrix.from_global(a, grid=grid),
+                     vectors=False)
+    wref = np.linalg.eigvalsh(a)
+    assert np.max(np.abs(np.asarray(w) - wref)) < 1e-11
+
+
+def test_skew_hermitian_eig(grid, rng):
+    n = 12
+    g = rng.standard_normal((n, n))
+    g = g - g.T  # real skew-symmetric
+    w, Q = SkewHermitianEig(LOWER, DistMatrix.from_global(g, grid=grid))
+    # eigenvalues of i*G are real; eigenvalues of G are -i*w
+    ev = np.sort_complex(-1j * np.asarray(w))
+    evref = np.sort_complex(np.linalg.eigvals(g))
+    assert np.max(np.abs(np.sort(ev.imag) - np.sort(evref.imag))) < 1e-11
+
+
+def test_gen_def_eig(grid, rng):
+    n = 14
+    a = rng.standard_normal((n, n))
+    a = a + a.T
+    b = rng.standard_normal((n, n))
+    b = b @ b.T + n * np.eye(n)
+    A = DistMatrix.from_global(a, grid=grid)
+    B = DistMatrix.from_global(b, grid=grid)
+    w, X = HermitianGenDefEig(LOWER, A, B)
+    w, x = np.asarray(w), X.global_array()
+    import scipy.linalg as sla
+
+    wref = sla.eigh(a, b, eigvals_only=True)
+    assert np.max(np.abs(w - wref)) / max(np.max(np.abs(wref)), 1) < 1e-11
+    resid = np.linalg.norm(a @ x - b @ (x * w[None, :])) / np.linalg.norm(a)
+    assert resid < 1e-10
+
+
+@pytest.mark.parametrize("shape", [(20, 20), (36, 12)],
+                         ids=["square", "tall"])
+@pytest.mark.parametrize("complex_", [False, True], ids=["real", "cplx"])
+def test_svd_qdwh(grid, rng, shape, complex_):
+    m, n = shape
+    a = rng.standard_normal((m, n))
+    if complex_:
+        a = a + 1j * rng.standard_normal((m, n))
+    A = DistMatrix.from_global(a, grid=grid)
+    U, s, V = SVD(A, nb=8)
+    u, vv, s = U.global_array(), V.global_array(), np.asarray(s)
+    sref = np.linalg.svd(a, compute_uv=False)
+    assert np.max(np.abs(s - sref)) / sref[0] < 1e-12
+    k = min(m, n)
+    recon = (u[:, :k] * s[None, :k]) @ vv[:, :k].conj().T
+    assert np.linalg.norm(recon - a) / np.linalg.norm(a) < 1e-12
+    assert np.linalg.norm(np.eye(k) - u[:, :k].conj().T @ u[:, :k]) < 1e-11
+    assert np.linalg.norm(np.eye(k) - vv[:, :k].conj().T @ vv[:, :k]) < 1e-11
+
+
+def test_svd_wide(grid, rng):
+    m, n = 10, 26
+    a = rng.standard_normal((m, n))
+    U, s, V = SVD(DistMatrix.from_global(a, grid=grid), nb=8)
+    sref = np.linalg.svd(a, compute_uv=False)
+    assert np.max(np.abs(np.asarray(s) - sref)) / sref[0] < 1e-12
+    recon = (U.global_array() * np.asarray(s)[None, :]) @ \
+        V.global_array().conj().T
+    assert np.linalg.norm(recon - a) / np.linalg.norm(a) < 1e-11
+
+
+def test_singular_values_rank_deficient(grid, rng):
+    m, n = 18, 18
+    u, _ = np.linalg.qr(rng.standard_normal((m, m)))
+    s = np.zeros(n)
+    s[: n // 2] = np.logspace(0, -6, n // 2)
+    a = (u * s) @ u.T
+    sv = np.asarray(SingularValues(DistMatrix.from_global(a, grid=grid)))
+    sref = np.linalg.svd(a, compute_uv=False)
+    assert np.max(np.abs(sv - sref)) < 1e-10
+
+
+def test_hermitian_svd(grid, rng):
+    n = 16
+    a = rng.standard_normal((n, n))
+    a = a + a.T
+    U, s, V = HermitianSVD(LOWER, DistMatrix.from_global(a, grid=grid))
+    sref = np.linalg.svd(a, compute_uv=False)
+    assert np.max(np.abs(np.asarray(s) - sref)) / sref[0] < 1e-11
+    recon = (U.global_array() * np.asarray(s)[None, :]) @ \
+        V.global_array().conj().T
+    assert np.linalg.norm(recon - a) / np.linalg.norm(a) < 1e-11
+
+
+def test_svd_gkl(grid, rng):
+    m, n = 24, 10
+    a = rng.standard_normal((m, n))
+    U, s, V = SVD(DistMatrix.from_global(a, grid=grid), alg="gkl")
+    sref = np.linalg.svd(a, compute_uv=False)
+    assert np.max(np.abs(np.asarray(s) - sref)) / sref[0] < 1e-10
+    recon = (U.global_array() * np.asarray(s)[None, :]) @ \
+        V.global_array().conj().T
+    assert np.linalg.norm(recon - a) / np.linalg.norm(a) < 1e-9

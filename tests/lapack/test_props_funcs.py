@@ -1,0 +1,156 @@
+"""props / funcs / ldl / lq tests."""
+
+import numpy as np
+import pytest
+
+import elementalx as El
+from elementalx import DistMatrix
+from elementalx.core.types import LOWER, NON_UNIT, UPPER
+from elementalx.lapack import (
+    Condition,
+    Determinant,
+    FrobeniusNorm,
+    HPDDeterminant,
+    HPDInverse,
+    InfinityNorm,
+    Inverse,
+    LDL,
+    MaxNorm,
+    OneNorm,
+    Sign,
+    SquareRoot,
+    SymmetricInverse,
+    TriangularInverse,
+    TwoNorm,
+    TwoNormEstimate,
+    ZeroNorm,
+)
+from elementalx.lapack.ldl import Inertia, SolveAfter as LDLSolve
+from elementalx.lapack.lq import LQ, ExplicitLQ, ExplicitRQ
+
+
+def test_norms(grid, rng):
+    a = rng.standard_normal((13, 9))
+    A = DistMatrix.from_global(a, grid=grid)
+    assert abs(float(FrobeniusNorm(A)) - np.linalg.norm(a)) < 1e-12
+    assert abs(float(OneNorm(A)) - np.linalg.norm(a, 1)) < 1e-12
+    assert abs(float(InfinityNorm(A)) - np.linalg.norm(a, np.inf)) < 1e-12
+    assert abs(float(MaxNorm(A)) - np.max(np.abs(a))) < 1e-15
+    assert int(ZeroNorm(A)) == np.count_nonzero(a)
+    s2 = np.linalg.norm(a, 2)
+    assert abs(float(TwoNorm(A)) - s2) / s2 < 1e-10
+    assert abs(float(TwoNormEstimate(A)) - s2) / s2 < 1e-4
+
+
+def test_determinant(grid, rng):
+    n = 16
+    a = rng.standard_normal((n, n))
+    A = DistMatrix.from_global(a, grid=grid)
+    det = float(Determinant(A))
+    ref = np.linalg.det(a)
+    assert abs(det - ref) / abs(ref) < 1e-10
+    spd = a @ a.T + n * np.eye(n)
+    dd = float(HPDDeterminant(LOWER, DistMatrix.from_global(spd, grid=grid)))
+    refd = np.linalg.det(spd)
+    assert abs(dd - refd) / refd < 1e-10
+
+
+def test_inverses(grid, rng):
+    n = 16
+    a = rng.standard_normal((n, n)) + n * np.eye(n)
+    Ai = Inverse(DistMatrix.from_global(a, grid=grid)).global_array()
+    assert np.linalg.norm(a @ Ai - np.eye(n)) < 1e-11
+    spd = a @ a.T
+    Hi = HPDInverse(LOWER, DistMatrix.from_global(spd, grid=grid)).global_array()
+    assert np.linalg.norm(spd @ Hi - np.eye(n)) < 1e-9
+    t = np.tril(a)
+    Ti = TriangularInverse(LOWER, NON_UNIT,
+                           DistMatrix.from_global(t, grid=grid)).global_array()
+    assert np.linalg.norm(t @ Ti - np.eye(n)) < 1e-10
+    sym = a + a.T + 2 * n * np.eye(n)
+    Si = SymmetricInverse(LOWER, DistMatrix.from_global(sym, grid=grid)
+                          ).global_array()
+    assert np.linalg.norm(sym @ Si - np.eye(n)) < 1e-9
+
+
+def test_condition(grid, rng):
+    n = 12
+    u, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    v, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    s = np.logspace(0, -4, n)
+    a = (u * s) @ v.T
+    A = DistMatrix.from_global(a, grid=grid)
+    k2 = float(Condition(A, "two"))
+    assert abs(k2 - 1e4) / 1e4 < 1e-6
+
+
+def test_sign(grid, rng):
+    n = 10
+    # matrix with eigenvalues on both sides of the imaginary axis
+    a = rng.standard_normal((n, n)) + np.diag(
+        np.concatenate([np.full(5, 4.0), np.full(5, -4.0)]))
+    S = Sign(DistMatrix.from_global(a, grid=grid)).global_array()
+    assert np.linalg.norm(S @ S - np.eye(n)) < 1e-8
+    assert np.linalg.norm(a @ S - S @ a) / np.linalg.norm(a) < 1e-8
+
+
+def test_square_root(grid, rng):
+    n = 12
+    a = rng.standard_normal((n, n))
+    spd = a @ a.T + n * np.eye(n)
+    R = SquareRoot(DistMatrix.from_global(spd, grid=grid)).global_array()
+    assert np.linalg.norm(R @ R - spd) / np.linalg.norm(spd) < 1e-9
+
+
+def test_ldl(grid, rng):
+    n = 14
+    a = rng.standard_normal((n, n))
+    sym = a + a.T + 2 * n * np.eye(n)  # strongly diagonally dominant
+    A = DistMatrix.from_global(sym, grid=grid)
+    F = LDL(A, conjugate=True, blocksize=4)
+    f = F.global_array()
+    ell = np.tril(f, -1) + np.eye(n)
+    d = np.diag(f).real
+    assert np.linalg.norm(ell @ np.diag(d) @ ell.T - sym) / \
+        np.linalg.norm(sym) < 1e-12
+    b = rng.standard_normal((n, 3))
+    X = LDLSolve(F, DistMatrix.from_global(b, grid=grid)).global_array()
+    assert np.linalg.norm(sym @ X - b) / np.linalg.norm(b) < 1e-11
+    pos, neg, zero = Inertia(A)
+    assert (int(pos), int(neg), int(zero)) == (n, 0, 0)
+
+
+def test_inertia_indefinite(grid, rng):
+    n = 8
+    d = np.array([3.0, 2.0, 1.0, 0.5, -1.0, -2.0, -0.5, 4.0])
+    u, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    a = (u * d) @ u.T
+    pos, neg, zero = Inertia(DistMatrix.from_global(a, grid=grid))
+    # unpivoted LDL on an indefinite (but factorable) matrix
+    assert int(pos) + int(neg) + int(zero) == n
+
+
+def test_lq_rq(grid, rng):
+    m, n = 10, 16
+    a = rng.standard_normal((m, n))
+    L, Q = ExplicitLQ(DistMatrix.from_global(a, grid=grid), blocksize=4)
+    ell, q = L.global_array(), Q.global_array()
+    k = min(m, n)
+    assert np.linalg.norm(np.eye(k) - q @ q.T) < 1e-12  # orthonormal rows
+    assert np.linalg.norm(ell @ q - a) / np.linalg.norm(a) < 1e-12
+    assert np.allclose(ell[:, :k], np.tril(ell[:, :k]))
+    R, Q2 = ExplicitRQ(DistMatrix.from_global(a, grid=grid), blocksize=4)
+    r, q2 = R.global_array(), Q2.global_array()
+    assert np.linalg.norm(r @ q2 - a) / np.linalg.norm(a) < 1e-12
+    assert np.linalg.norm(np.eye(m) - q2 @ q2.T) < 1e-12
+    assert np.allclose(r, np.triu(r))
+
+
+def test_pseudoinverse(grid, rng):
+    m, n = 14, 8
+    a = rng.standard_normal((m, n))
+    from elementalx.lapack import Pseudoinverse
+
+    P = Pseudoinverse(DistMatrix.from_global(a, grid=grid)).global_array()
+    ref = np.linalg.pinv(a)
+    assert np.linalg.norm(P - ref) / np.linalg.norm(ref) < 1e-10
