@@ -1,0 +1,61 @@
+"""Pallas kernel tests: jnp fallbacks on CPU + kernel bodies in
+interpreter mode (pallas_guide: Debugging / force_tpu_interpret_mode)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from elementalx.kernels import (
+    axpy,
+    fill,
+    hadamard,
+    masked_rank_k,
+    matmul,
+    scale,
+    transpose,
+)
+from elementalx.kernels.matmul import matmul_pallas
+
+
+def test_fallback_paths(rng):
+    x = jnp.asarray(rng.standard_normal((13, 17)))
+    y = jnp.asarray(rng.standard_normal((13, 17)))
+    np.testing.assert_allclose(np.asarray(axpy(2.0, x, y)),
+                               2 * np.asarray(x) + np.asarray(y))
+    np.testing.assert_allclose(np.asarray(scale(-1.5, x)),
+                               -1.5 * np.asarray(x))
+    np.testing.assert_allclose(np.asarray(hadamard(x, y)),
+                               np.asarray(x) * np.asarray(y))
+    np.testing.assert_allclose(np.asarray(transpose(x)), np.asarray(x).T)
+    np.testing.assert_allclose(np.asarray(fill((5, 7), 2.5, jnp.float64)),
+                               2.5)
+    a = jnp.asarray(rng.standard_normal((12, 8)))
+    b = jnp.asarray(rng.standard_normal((8, 12)))
+    np.testing.assert_allclose(np.asarray(matmul(a, b)),
+                               np.asarray(a) @ np.asarray(b), atol=1e-12)
+    c = jnp.asarray(rng.standard_normal((12, 12)))
+    out = np.asarray(masked_rank_k(True, -1.0, a, b, 1.0, c))
+    ref = np.tril(np.asarray(c) - np.asarray(a) @ np.asarray(b)) + \
+        np.triu(np.asarray(c), 1)
+    np.testing.assert_allclose(out, ref, atol=1e-12)
+
+
+def test_matmul_pallas_interpret(rng):
+    """Run the actual kernel body through the Pallas interpreter."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    a = jnp.asarray(rng.standard_normal((256, 128)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((128, 256)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        c = matmul_pallas(a, b, bm=128, bn=128, bk=64)
+    np.testing.assert_allclose(np.asarray(c),
+                               np.asarray(a) @ np.asarray(b), atol=1e-4)
+
+
+def test_matmul_pallas_rejects_ragged():
+    a = jnp.ones((100, 128), jnp.float32)
+    b = jnp.ones((128, 128), jnp.float32)
+    with pytest.raises(ValueError):
+        matmul_pallas(a, b, bm=128, bn=128, bk=128)
