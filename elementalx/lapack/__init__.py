@@ -65,3 +65,24 @@ from .funcs import (  # noqa: F401
     SymmetricInverse,
     TriangularInverse,
 )
+from . import euclidean_min  # noqa: F401
+from .euclidean_min import GLM, LSE, LeastSquares, Ridge, Tikhonov  # noqa: F401
+from . import solve  # noqa: F401
+from .solve import (  # noqa: F401
+    HermitianSolve,
+    MultiShiftHessSolve,
+    SQSDSolve,
+    SymmetricSolve,
+)
+from . import equilibrate  # noqa: F401
+from .equilibrate import GeomEquil, RuizEquil, SymmetricRuizEquil  # noqa: F401
+from . import util  # noqa: F401
+from .util import Median, Sort, SortColumns, TaggedSort  # noqa: F401
+from . import id_skeleton  # noqa: F401
+from .id_skeleton import ID, Skeleton  # noqa: F401
+from . import schur  # noqa: F401
+from .schur import Eig, QuasiTriangEig, Schur, TriangEig  # noqa: F401
+from . import pseudospectra  # noqa: F401
+from .pseudospectra import Pseudospectra, TriangularPseudospectra  # noqa: F401
+from . import secular  # noqa: F401
+from .secular import CubicSecular, SecularEVD, SecularSVD  # noqa: F401

@@ -1,0 +1,257 @@
+"""Schur decomposition and general eigensolvers.
+
+Reference: src/lapack_like/spectral/HessenbergSchur/ (sequential QR
+algorithm with aggressive early deflation — the reference deliberately
+keeps this host-sequential, ElementalREADME.md:43), spectral/Schur/SDC.hpp
+(distributed sign-based spectral divide-and-conquer prototype),
+QuasiTriangEig / TriangEig (triangular eigenvectors via multi-shift
+solves), Eig driver.
+
+TPU-native split of labor:
+ * Hessenberg reduction: on-device blocked reflectors (condense.py).
+ * The QR iteration itself: implicit single-shift complex QR with
+   Wilkinson shifts and deflation, host-side numpy — the same
+   "sequential bulge chase stays on the host" decision the reference
+   makes; O(n^2) data, O(n^3) scalar-ish work that no SIMD unit helps.
+ * SDC: sign-function spectral splitting (funcs.Sign, all MXU work)
+   with rank-revealing subspace extraction, recursing on the diagonal
+   blocks — the scalable path for well-separated spectra.
+ * TriangEig: batched shifted triangular solves (vmapped, MXU).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.dmatrix import DistMatrix
+from ..core.types import ADJOINT, LOWER, MC, MR, NORMAL, UPPER
+from ..blas.gemm import Gemm
+from .condense import Hessenberg, hessenberg_apply_q
+
+
+def _hessenberg_qr_host(H: np.ndarray, want_vecs: bool,
+                        max_sweeps_per_eig: int = 40
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """Complex implicit single-shift Hessenberg QR with Wilkinson shifts
+    and deflation. Returns (T upper triangular, Z unitary) with
+    H = Z T Z^H. (The AED/multibulge refinements of the reference's
+    HessenbergSchur are future work; this is the classical robust core.)
+    """
+    n = H.shape[0]
+    T = H.astype(np.complex128).copy()
+    Z = np.eye(n, dtype=np.complex128)
+    eps = np.finfo(np.float64).eps
+    m = n
+    its = 0
+    total_budget = max_sweeps_per_eig * max(n, 1)
+    while m > 1 and its < total_budget:
+        its += 1
+        # deflate tiny subdiagonals in the active window
+        deflated = False
+        for k in range(m - 1, 0, -1):
+            if abs(T[k, k - 1]) <= eps * (abs(T[k, k]) + abs(T[k - 1, k - 1])):
+                T[k, k - 1] = 0.0
+                if k == m - 1:
+                    m -= 1
+                    deflated = True
+                break
+        if deflated:
+            continue
+        # window start l: first zero subdiagonal below m
+        l = 0
+        for k in range(m - 1, 0, -1):
+            if T[k, k - 1] == 0.0:
+                l = k
+                break
+        # Wilkinson shift from the trailing 2x2 of the window
+        a, b = T[m - 2, m - 2], T[m - 2, m - 1]
+        c, d = T[m - 1, m - 2], T[m - 1, m - 1]
+        tr = a + d
+        det = a * d - b * c
+        disc = np.sqrt(tr * tr - 4 * det)
+        r1 = (tr + disc) / 2
+        r2 = (tr - disc) / 2
+        mu = r1 if abs(r1 - d) < abs(r2 - d) else r2
+        # implicit QR sweep on [l, m): chase the bulge with Givens
+        x = T[l, l] - mu
+        y = T[l + 1, l]
+        for k in range(l, m - 1):
+            # Givens zeroing y against x
+            r = np.hypot(abs(x), abs(y))
+            if r == 0.0:
+                cs, sn = 1.0, 0.0
+            else:
+                cs = abs(x) / r
+                phase = x / abs(x) if abs(x) > 0 else 1.0
+                sn = phase * np.conj(y) / r
+            # apply G^H from left to rows k, k+1
+            row_k = T[k, max(k - 1, 0):].copy()
+            row_k1 = T[k + 1, max(k - 1, 0):].copy()
+            T[k, max(k - 1, 0):] = cs * row_k + sn * row_k1
+            T[k + 1, max(k - 1, 0):] = -np.conj(sn) * row_k + cs * row_k1
+            # apply G from right to cols k, k+1
+            hi = min(k + 3, m)
+            col_k = T[:hi, k].copy()
+            col_k1 = T[:hi, k + 1].copy()
+            T[:hi, k] = cs * col_k + np.conj(sn) * col_k1
+            T[:hi, k + 1] = -sn * col_k + cs * col_k1
+            if want_vecs:
+                zc_k = Z[:, k].copy()
+                zc_k1 = Z[:, k + 1].copy()
+                Z[:, k] = cs * zc_k + np.conj(sn) * zc_k1
+                Z[:, k + 1] = -sn * zc_k + cs * zc_k1
+            if k < m - 2:
+                x = T[k + 1, k]
+                y = T[k + 2, k]
+    # clean below-diagonal dust
+    T = np.triu(T)
+    return T, Z
+
+
+class SchurDecomposition(NamedTuple):
+    T: DistMatrix       # upper triangular (complex)
+    Z: DistMatrix       # unitary Schur vectors
+    w: jax.Array        # eigenvalues (diag of T)
+
+
+def Schur(A: DistMatrix, want_vecs: bool = True, alg: str = "qr"
+          ) -> SchurDecomposition:
+    """Complex Schur decomposition A = Z T Z^H
+    (reference: spectral/Schur.cpp driver)."""
+    if alg == "sdc":
+        return _schur_sdc(A, want_vecs)
+    n = A.m
+    fact = Hessenberg(LOWER, A)
+    Hd = np.asarray(jax.device_get(fact.packed.data))[:n, :n]
+    Hh = np.triu(Hd, -1)  # Hessenberg part; below lives the reflectors
+    T, Zh = _hessenberg_qr_host(Hh, want_vecs)
+    dt = jnp.complex128 if fact.packed.dtype in (jnp.float64, jnp.complex128) \
+        else jnp.complex64
+    from ..core.dmatrix import pad_array
+
+    Tdm = DistMatrix.from_global(jnp.asarray(T, dt), MC, MR, A.grid)
+    w = jnp.asarray(np.diag(T), dt)
+    if not want_vecs:
+        return SchurDecomposition(Tdm, None, w)
+    # backtransform: Z = Q_hess * Z_qr
+    M = fact.packed.data.shape[0]
+    Zfull = jnp.zeros((M, M), dt)
+    Zfull = Zfull.at[:n, :n].set(jnp.asarray(Zh, dt))
+    packed_c = fact.packed.with_data(fact.packed.data.astype(dt))
+    from .condense import HessenbergFactorization
+
+    fc = HessenbergFactorization(packed_c, fact.tau.astype(dt))
+    Zd = hessenberg_apply_q(fc, Zfull, adjoint=False)
+    Zdm = DistMatrix.from_padded(Zd, n, n, MC, MR, A.grid, A.wrap)
+    Zdm = Zdm.with_data(Zdm.mask_padding(Zdm.data))
+    return SchurDecomposition(Tdm, Zdm, w)
+
+
+def _schur_sdc(A: DistMatrix, want_vecs: bool, min_block: int = 32,
+               depth: int = 0) -> SchurDecomposition:
+    """Sign-based spectral divide-and-conquer
+    (reference: Schur/SDC.hpp): split the spectrum at the mean trace
+    with S = sign(A - sigma I), extract the invariant subspace with a
+    rank-revealing QR of the projector, recurse on the diagonal blocks.
+    Falls back to the QR path for small/ill-split blocks."""
+    n = A.m
+    if n <= min_block or depth > 20:
+        return Schur(A, want_vecs, alg="qr")
+    from .funcs import Sign
+    from .qr import ColPivQR
+    from ..blas.level1 import ShiftDiagonal, Trace as _tr
+
+    sigma = jnp.trace(A.data[:n, :n]) / n
+    S = Sign(ShiftDiagonal(A.redistribute(MC, MR), -sigma))
+    Pm = S.with_data(0.5 * (jnp.eye(S.data.shape[0], dtype=S.dtype)
+                            * (jnp.arange(S.data.shape[0]) < n)[None, :]
+                            - S.data))
+    # rank = # eigenvalues left of sigma
+    k = int(np.round(float(jnp.real(jnp.trace(Pm.data[:n, :n])))))
+    if k == 0 or k == n:
+        return Schur(A, want_vecs, alg="qr")
+    fact, perm = ColPivQR(Pm)  # rank-revealing: leading k cols span range(P)
+    from .reflect import ExpandPackedReflectors
+
+    Qfull = ExpandPackedReflectors(fact.packed.data, fact.tau, 32,
+                                   min(Pm.m, Pm.n),
+                                   fact.packed.data.shape[0])
+    q = Qfull[:n, :n]
+    Ad = A.redistribute(MC, MR).data[:n, :n]
+    At = jnp.conj(q.T) @ Ad @ q  # block upper triangular (approx)
+    A11 = DistMatrix.from_global(At[:k, :k], MC, MR, A.grid)
+    A22 = DistMatrix.from_global(At[k:, k:], MC, MR, A.grid)
+    S1 = _schur_sdc(A11, want_vecs, min_block, depth + 1)
+    S2 = _schur_sdc(A22, want_vecs, min_block, depth + 1)
+    T = jnp.zeros((n, n), S1.T.dtype)
+    Z1 = S1.Z.data[:k, :k]
+    Z2 = S2.Z.data[: n - k, : n - k]
+    T = T.at[:k, :k].set(S1.T.data[:k, :k])
+    T = T.at[k:, k:].set(S2.T.data[: n - k, : n - k])
+    A12t = At[:k, k:].astype(T.dtype)
+    T = T.at[:k, k:].set(jnp.conj(Z1.T) @ A12t @ Z2)
+    Zc = jnp.zeros((n, n), S1.T.dtype)
+    Zc = Zc.at[:k, :k].set(Z1)
+    Zc = Zc.at[k:, k:].set(Z2)
+    Zfin = q.astype(T.dtype) @ Zc
+    Tdm = DistMatrix.from_global(T, MC, MR, A.grid)
+    Zdm = DistMatrix.from_global(Zfin, MC, MR, A.grid)
+    return SchurDecomposition(Tdm, Zdm, jnp.diagonal(T))
+
+
+def TriangEig(T: DistMatrix) -> DistMatrix:
+    """Eigenvectors of an upper triangular matrix via batched shifted
+    triangular solves (reference: spectral/TriangEig.cpp, which uses
+    MultiShiftTrsm). Column j solves rows<j of (T - t_jj) x = 0 with
+    x_j = 1."""
+    n = T.m
+    Td = T.replicated()[:n, :n]
+    lam = jnp.diagonal(Td)
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j2 = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+
+    def one(jdx):
+        shift = lam[jdx]
+        rows_before = i < jdx
+        # M = rows<j ? (T - shift I) : I  — upper triangular, nonsingular
+        Mfull = jnp.where(rows_before[:, 0:1],
+                          Td - shift * jnp.eye(n, dtype=Td.dtype),
+                          jnp.eye(n, dtype=Td.dtype))
+        b = (i[:, 0] == jdx).astype(Td.dtype)
+        x = jax.lax.linalg.triangular_solve(
+            Mfull, b[:, None], left_side=True, lower=False)[:, 0]
+        nx = jnp.sqrt(jnp.sum(jnp.abs(x) ** 2))
+        return x / jnp.where(nx == 0, 1, nx)
+
+    X = jax.vmap(one, out_axes=1)(jnp.arange(n))
+    return DistMatrix.from_global(X, MC, MR, T.grid)
+
+
+def QuasiTriangEig(T: DistMatrix) -> DistMatrix:
+    """Reference: spectral/QuasiTriangEig.cpp. The library produces
+    complex Schur forms (no 2x2 real blocks), so this is TriangEig."""
+    return TriangEig(T)
+
+
+class EigDecomposition(NamedTuple):
+    w: jax.Array
+    X: DistMatrix
+
+
+def Eig(A: DistMatrix, want_vecs: bool = True, alg: str = "qr"):
+    """General (non-Hermitian) eigendecomposition via Schur + TriangEig
+    (reference: spectral/Eig.cpp)."""
+    dec = Schur(A, want_vecs=want_vecs, alg=alg)
+    if not want_vecs:
+        return dec.w
+    Y = TriangEig(dec.T)
+    X = Gemm(NORMAL, NORMAL, 1.0,
+             dec.Z.with_data(dec.Z.data.astype(Y.dtype)), Y)
+    # normalize columns
+    nx = jnp.sqrt(jnp.sum(jnp.abs(X.data) ** 2, axis=0))
+    X = X.with_data(X.data / jnp.where(nx == 0, 1, nx)[None, :])
+    return EigDecomposition(dec.w, X)

@@ -1,0 +1,92 @@
+"""Schur / Eig / TriangEig / Pseudospectra / secular tests."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import elementalx as El
+from elementalx import DistMatrix
+from elementalx.lapack.schur import Eig, Schur, TriangEig
+from elementalx.lapack.pseudospectra import Pseudospectra
+from elementalx.lapack.secular import SecularEVD
+
+
+@pytest.mark.parametrize("complex_", [False, True], ids=["real", "cplx"])
+def test_schur_qr(grid, rng, complex_):
+    n = 24
+    a = rng.standard_normal((n, n))
+    if complex_:
+        a = a + 1j * rng.standard_normal((n, n))
+    A = DistMatrix.from_global(a, grid=grid)
+    dec = Schur(A)
+    T = dec.T.global_array()
+    Z = dec.Z.global_array()
+    assert np.allclose(T, np.triu(T))
+    assert np.linalg.norm(np.eye(n) - Z.conj().T @ Z) < 1e-12
+    recon = Z @ T @ Z.conj().T
+    assert np.linalg.norm(recon - a) / np.linalg.norm(a) < 1e-12
+    # greedy matching (sort_complex mispairs conjugate eigenvalues whose
+    # real parts differ only in the last ulp)
+    wref = np.linalg.eigvals(a)
+    w = np.asarray(dec.w)
+    used = np.zeros(n, bool)
+    worst = 0.0
+    for wi in w:
+        dist = np.abs(wref - wi)
+        dist[used] = np.inf
+        k = np.argmin(dist)
+        used[k] = True
+        worst = max(worst, dist[k])
+    assert worst / np.max(np.abs(wref)) < 1e-10
+
+
+def test_eig_general(grid, rng):
+    n = 16
+    a = rng.standard_normal((n, n))
+    w, X = Eig(DistMatrix.from_global(a, grid=grid))
+    w, x = np.asarray(w), X.global_array()
+    res = np.linalg.norm(a @ x - x * w[None, :]) / np.linalg.norm(a)
+    assert res < 1e-10, f"eigpair residual {res}"
+
+
+def test_triang_eig(grid, rng):
+    n = 12
+    t = np.triu(rng.standard_normal((n, n)))
+    np.fill_diagonal(t, np.arange(1, n + 1, dtype=float))  # separated eigs
+    X = TriangEig(DistMatrix.from_global(t, grid=grid)).global_array()
+    for j in range(n):
+        r = t @ X[:, j] - t[j, j] * X[:, j]
+        assert np.linalg.norm(r) < 1e-10
+
+
+def test_pseudospectra(grid, rng):
+    n = 12
+    a = np.diag(np.arange(1.0, n + 1))  # eigenvalues 1..n
+    port = Pseudospectra(DistMatrix.from_global(a, grid=grid),
+                         (0.0, 4.0), (-1.0, 1.0), real_size=9, imag_size=5,
+                         iters=30)
+    smin = np.asarray(port.sigma_min_map)
+    re = np.asarray(port.real_grid)
+    im = np.asarray(port.imag_grid)
+    # at z = 1.0 + 0i (an eigenvalue) sigma_min ~ 0; at z = 0, sigma_min ~ 1
+    i0 = np.argmin(np.abs(im - 0.0))
+    j1 = np.argmin(np.abs(re - 1.0))
+    j0 = np.argmin(np.abs(re - 0.0))
+    assert smin[i0, j1] < 1e-8
+    assert abs(smin[i0, j0] - 1.0) < 1e-6
+
+
+def test_secular_evd(rng):
+    n = 10
+    d = np.sort(rng.standard_normal(n))
+    z = rng.standard_normal(n)
+    z /= np.linalg.norm(z)
+    rho = 0.8
+    lam, V = SecularEVD(jnp.asarray(d), jnp.asarray(z), rho)
+    lam, V = np.asarray(lam), np.asarray(V)
+    A = np.diag(d) + rho * np.outer(z, z)
+    wref = np.linalg.eigvalsh(A)
+    assert np.max(np.abs(np.sort(lam) - wref)) < 1e-12
+    res = np.linalg.norm(A @ V - V * lam[None, :])
+    assert res < 1e-10
