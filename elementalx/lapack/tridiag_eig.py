@@ -194,8 +194,21 @@ def tridiag_eig(d: jax.Array, e: jax.Array, invit_steps: int = 3,
     return w_ref[order], Z[:, order]
 
 
-def HermitianTridiagEig(d: jax.Array, e: jax.Array, vectors: bool = True):
-    """El-style driver (reference: HermitianTridiagEig.cpp)."""
+def HermitianTridiagEig(d: jax.Array, e: jax.Array, vectors: bool = True,
+                        backend: str = "jax"):
+    """El-style driver (reference: HermitianTridiagEig.cpp). backend
+    'native' uses the C++ host solver (native/elx_tridiag.cpp, the pmrrr
+    replacement) — eager-only; 'jax' is the batched on-device solver."""
+    if backend == "native":
+        import numpy as _np
+
+        from ..native import tridiag_eig_native
+
+        w, Z = tridiag_eig_native(_np.asarray(d), _np.asarray(e),
+                                  want_vectors=vectors)
+        if vectors:
+            return jnp.asarray(w), jnp.asarray(Z)
+        return jnp.asarray(w)
     if vectors:
         return tridiag_eig(d, e)
     return tridiag_eigvalsh(d, e)
