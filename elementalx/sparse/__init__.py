@@ -1,0 +1,14 @@
+"""Sparse layer: Graph/SparseMatrix/DistMultiVec + multifrontal LDL.
+
+Rebuilds the core sparse classes the Hydrogen fork deleted plus the
+multifrontal factorization they supported (SURVEY §0 stratum 2 and §7
+step 9)."""
+
+from .graph import DistGraph, Graph, nested_dissection  # noqa: F401
+from .matrix import DistMultiVec, DistSparseMatrix, SparseMatrix  # noqa: F401
+from .ldl import (  # noqa: F401
+    SparseHPDSolve,
+    SparseLDL,
+    SparseLDLFactorization,
+    SolveAfter,
+)

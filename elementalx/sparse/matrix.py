@@ -1,0 +1,152 @@
+"""Sparse matrix containers.
+
+Reference: the original Elemental SparseMatrix / DistSparseMatrix /
+DistMultiVec deleted by the Hydrogen fork (SURVEY §0) — rebuilt fresh.
+Pattern+values live host-side in CSC (symbolic work is host graph
+work); numeric kernels move dense blocks to the device."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..core.dmatrix import DistMatrix
+from ..core.grid import Grid
+from ..core.types import MC, MR, STAR, VC
+
+
+class SparseMatrix:
+    """CSC sparse matrix with El-style queued construction
+    (reference: SparseMatrix<T>::QueueUpdate/ProcessQueues)."""
+
+    def __init__(self, height: int, width: Optional[int] = None):
+        self.m = height
+        self.n = width if width is not None else height
+        self._triples = []
+        self.colptr: Optional[np.ndarray] = None
+        self.rowind: Optional[np.ndarray] = None
+        self.values: Optional[np.ndarray] = None
+
+    def queue_update(self, i: int, j: int, value) -> None:
+        self._triples.append((i, j, value))
+
+    def process_queues(self) -> None:
+        if not self._triples:
+            self.colptr = np.zeros(self.n + 1, np.int64)
+            self.rowind = np.zeros(0, np.int32)
+            self.values = np.zeros(0, np.float64)
+            return
+        t = self._triples
+        ii = np.asarray([x[0] for x in t], np.int64)
+        jj = np.asarray([x[1] for x in t], np.int64)
+        vv = np.asarray([x[2] for x in t])
+        order = np.lexsort((ii, jj))
+        ii, jj, vv = ii[order], jj[order], vv[order]
+        # combine duplicates
+        key = jj * self.m + ii
+        uniq, inv = np.unique(key, return_inverse=True)
+        vals = np.zeros(uniq.shape[0], vv.dtype)
+        np.add.at(vals, inv, vv)
+        ju = (uniq // self.m).astype(np.int64)
+        iu = (uniq % self.m).astype(np.int32)
+        counts = np.bincount(ju, minlength=self.n)
+        self.colptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        self.rowind = iu
+        self.values = vals
+
+    @staticmethod
+    def from_csc(colptr, rowind, values, m: int, n: int) -> "SparseMatrix":
+        S = SparseMatrix(m, n)
+        S.colptr = np.asarray(colptr, np.int64)
+        S.rowind = np.asarray(rowind, np.int32)
+        S.values = np.asarray(values)
+        return S
+
+    @staticmethod
+    def from_dense(a: np.ndarray, tol: float = 0.0) -> "SparseMatrix":
+        m, n = a.shape
+        S = SparseMatrix(m, n)
+        cp = [0]
+        ri, vv = [], []
+        for j in range(n):
+            nz = np.where(np.abs(a[:, j]) > tol)[0]
+            ri.extend(nz.tolist())
+            vv.extend(a[nz, j].tolist())
+            cp.append(len(ri))
+        S.colptr = np.asarray(cp, np.int64)
+        S.rowind = np.asarray(ri, np.int32)
+        S.values = np.asarray(vv)
+        return S
+
+    @property
+    def nnz(self) -> int:
+        return 0 if self.values is None else self.values.shape[0]
+
+    def to_dense(self) -> np.ndarray:
+        a = np.zeros((self.m, self.n),
+                     self.values.dtype if self.nnz else np.float64)
+        for j in range(self.n):
+            for p in range(self.colptr[j], self.colptr[j + 1]):
+                a[self.rowind[p], j] = self.values[p]
+        return a
+
+    def to_dist(self, grid: Optional[Grid] = None) -> DistMatrix:
+        """Densify onto the mesh (small systems / debugging)."""
+        return DistMatrix.from_global(self.to_dense(), MC, MR, grid)
+
+    def matvec(self, x: np.ndarray) -> np.ndarray:
+        y = np.zeros(self.m, np.result_type(self.values, x))
+        for j in range(self.n):
+            sl = slice(self.colptr[j], self.colptr[j + 1])
+            np.add.at(y, self.rowind[sl], self.values[sl] * x[j])
+        return y
+
+    def permuted(self, perm: np.ndarray) -> "SparseMatrix":
+        """Symmetric permutation A(p, p)."""
+        inv = np.argsort(perm)
+        dense = None
+        S = SparseMatrix(self.m, self.n)
+        for j in range(self.n):
+            for p in range(self.colptr[j], self.colptr[j + 1]):
+                S.queue_update(int(inv[self.rowind[p]]), int(inv[j]),
+                               self.values[p])
+        S.process_queues()
+        return S
+
+
+class DistSparseMatrix(SparseMatrix):
+    """Distributed sparse matrix (reference: DistSparseMatrix). The
+    pattern is host-global (single controller); the grid tags where the
+    numeric fronts execute."""
+
+    def __init__(self, height: int, width: Optional[int] = None,
+                 grid: Optional[Grid] = None):
+        super().__init__(height, width)
+        self.grid = grid or Grid.default()
+
+
+class DistMultiVec:
+    """Tall dense multi-vector distributed by rows — reference:
+    DistMultiVec<T> ([VC,*] row-block layout)."""
+
+    def __init__(self, dm: DistMatrix):
+        self.dm = dm
+
+    @staticmethod
+    def from_global(arr, grid: Optional[Grid] = None) -> "DistMultiVec":
+        a = np.asarray(arr)
+        if a.ndim == 1:
+            a = a[:, None]
+        return DistMultiVec(DistMatrix.from_global(a, VC, STAR, grid))
+
+    @property
+    def height(self) -> int:
+        return self.dm.m
+
+    @property
+    def width(self) -> int:
+        return self.dm.n
+
+    def global_array(self) -> np.ndarray:
+        return self.dm.global_array()

@@ -1,0 +1,85 @@
+"""IPM tests: random LPs vs scipy.linprog, QP KKT checks, netlib MPS
+instances from the reference's data/optimization/."""
+
+import os
+
+import numpy as np
+import pytest
+
+from elementalx.optimization import LP, QP, read_mps
+
+REF_DATA = "/root/reference/data/optimization"
+
+# known optima of the shipped netlib instances
+NETLIB_OPT = {
+    "afiro.mps": -464.75314286,
+    "adlittle.mps": 225494.96316,
+}
+
+
+def _random_lp(rng, m, n):
+    A = rng.standard_normal((m, n))
+    x0 = np.abs(rng.standard_normal(n)) + 0.1  # feasible interior point
+    b = A @ x0
+    # c = A^T y + s with s > 0 => dual feasible => bounded
+    c = A.T @ rng.standard_normal(m) + np.abs(rng.standard_normal(n)) + 0.05
+    return A, b, c
+
+
+def test_lp_random_vs_scipy(rng):
+    from scipy.optimize import linprog
+
+    m, n = 6, 14
+    A, b, c = _random_lp(rng, m, n)
+    sol = LP(A, b, c)
+    assert sol.converged
+    ref = linprog(c, A_eq=A, b_eq=b, bounds=(0, None), method="highs")
+    assert ref.success
+    assert abs(sol.primal_obj - ref.fun) < 1e-5 * (1 + abs(ref.fun))
+    np.testing.assert_allclose(A @ sol.x, b, atol=1e-6)
+    assert sol.x.min() > -1e-9
+    # duality gap closed
+    assert abs(sol.primal_obj - sol.dual_obj) < 1e-5 * (1 + abs(sol.primal_obj))
+
+
+def test_lp_sparse_kkt(rng):
+    m, n = 5, 10
+    A, b, c = _random_lp(rng, m, n)
+    sol = LP(A, b, c, use_sparse=True)
+    assert sol.converged
+    from scipy.optimize import linprog
+
+    ref = linprog(c, A_eq=A, b_eq=b, bounds=(0, None), method="highs")
+    assert abs(sol.primal_obj - ref.fun) < 1e-5 * (1 + abs(ref.fun))
+
+
+def test_qp_kkt(rng):
+    m, n = 4, 10
+    A = rng.standard_normal((m, n))
+    x0 = np.abs(rng.standard_normal(n)) + 0.1
+    b = A @ x0
+    G = rng.standard_normal((n, n))
+    Q = G @ G.T + np.eye(n)
+    c = rng.standard_normal(n)
+    sol = QP(Q, A, b, c)
+    assert sol.converged
+    x, y, z = sol.x, sol.y, sol.z
+    np.testing.assert_allclose(A @ x, b, atol=1e-6)
+    assert x.min() > -1e-9 and z.min() > -1e-9
+    # stationarity: Qx + c - A^T y - z = 0
+    np.testing.assert_allclose(Q @ x + c - A.T @ y - z,
+                               np.zeros(n), atol=1e-5)
+    # complementarity
+    assert np.abs(x * z).max() < 1e-6
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_DATA),
+                    reason="reference data not mounted")
+@pytest.mark.parametrize("inst", ["afiro.mps", "adlittle.mps"])
+def test_netlib_mps(inst):
+    prob = read_mps(os.path.join(REF_DATA, inst))
+    sol = LP(prob.A, prob.b, prob.c, max_its=200)
+    obj = sol.primal_obj + prob.objective_shift
+    ref = NETLIB_OPT[inst]
+    assert sol.converged, f"{inst} did not converge"
+    assert abs(obj - ref) / (1 + abs(ref)) < 1e-5, f"{inst}: {obj} vs {ref}"
