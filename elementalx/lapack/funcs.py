@@ -147,12 +147,19 @@ def SquareRoot(A: DistMatrix, max_its: int = 30) -> DistMatrix:
     Y_{k+1} = (Y_k + Z_k^{-1})/2, Z_{k+1} = (Z_k + Y_k^{-1})/2."""
     Y = A.redistribute(MC, MR)
     Z = _identity_like(Y)
+    eps = jnp.finfo(jnp.real(Y.data).dtype).eps
     for _ in range(max_its):
         Yinv = Inverse(Y)
         Zinv = Inverse(Z)
         Y2 = Y.with_data(0.5 * (Y.data + Zinv.data))
         Z2 = Z.with_data(0.5 * (Z.data + Yinv.data))
+        diff = jnp.linalg.norm(Y2.data - Y.data)
         Y, Z = Y2, Z2
+        try:  # eager early exit (mirrors Sign)
+            if float(diff) <= 10 * float(eps) * float(jnp.linalg.norm(Y.data)):
+                break
+        except (jax.errors.TracerArrayConversionError, TypeError):
+            pass
     return Y
 
 

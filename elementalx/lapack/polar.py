@@ -67,6 +67,11 @@ def qdwh(a: jax.Array, m: int, nb: int = 128, max_its: int = 10,
             Q1, jnp.conj(Q2.T))
         l = l * (aa + bb * l * l) / (1.0 + cc * l * l)
         l = jnp.minimum(l, 1.0)
+        try:  # eager early exit once the lower bound has converged to 1
+            if float(l) > 1.0 - 10 * float(eps):
+                break
+        except (jax.errors.TracerArrayConversionError, TypeError):
+            pass
 
     return X
 

@@ -15,7 +15,7 @@ from elementalx.lapack.hermitian_eig import (
 from elementalx.lapack.svd import SVD, HermitianSVD, SingularValues
 
 
-@pytest.mark.parametrize("n", [16, 48])
+@pytest.mark.parametrize("n", [16, 32])
 @pytest.mark.parametrize("complex_", [False, True], ids=["real", "cplx"])
 def test_hermitian_eig(grid, rng, n, complex_):
     a = rng.standard_normal((n, n))
