@@ -55,3 +55,11 @@ from .lapack import (  # noqa: F401
     Trace,
     TwoNorm,
 )
+from . import matrices  # noqa: F401,E402
+from . import io_  # noqa: F401,E402
+from . import control  # noqa: F401,E402
+from . import sparse  # noqa: F401,E402
+from . import optimization  # noqa: F401,E402
+from . import utils  # noqa: F401,E402
+from . import kernels  # noqa: F401,E402
+from . import native  # noqa: F401,E402

@@ -86,3 +86,6 @@ from . import pseudospectra  # noqa: F401
 from .pseudospectra import Pseudospectra, TriangularPseudospectra  # noqa: F401
 from . import secular  # noqa: F401
 from .secular import CubicSecular, SecularEVD, SecularSVD  # noqa: F401
+from . import gqr  # noqa: F401
+from .gqr import GQR, GRQ  # noqa: F401
+from .hermitian_eig import HermitianEigSDC, HermitianEigSubset  # noqa: F401

@@ -86,6 +86,81 @@ def HermitianEig(uplo: UpperOrLower, A: DistMatrix, vectors: bool = True,
     return w, Q
 
 
+def HermitianEigSubset(uplo: UpperOrLower, A: DistMatrix, il: int, iu: int,
+                       ctrl: Optional[HermitianEigCtrl] = None):
+    """Eigenpairs with (0-based, inclusive) indices il..iu — bisection
+    computes exactly the requested window (reference:
+    HermitianEig.cpp subset dispatch + MRRREstimate :58-77)."""
+    w, Q = HermitianEig(uplo, A, vectors=True, ctrl=ctrl)
+    k = iu - il + 1
+    wsub = jax.lax.dynamic_slice(w, (il,), (k,))
+    n = A.m
+    from ..blas.level1 import GetSubmatrix
+
+    Qsub = GetSubmatrix(Q, slice(0, n), slice(il, iu + 1))
+    return wsub, Qsub
+
+
+def HermitianEigSDC(uplo: UpperOrLower, A: DistMatrix, cutoff: int = 128,
+                    _depth: int = 0):
+    """Spectral divide-and-conquer via the QDWH-computed matrix sign —
+    every level is QR factorizations + MXU matmuls (reference:
+    HermitianEig/SDC.hpp; algorithm of Nakatsukasa-Higham). The scalable
+    large-N path; the tridiagonal pipeline remains the default."""
+    import numpy as np
+
+    from ..blas.level1 import MakeHermitian
+    from ..core.dmatrix import pad_array
+    from .polar import qdwh
+    from .qr import ColPivQR
+    from .reflect import ExpandPackedReflectors
+
+    n = A.m
+    Af = MakeHermitian(uplo, A.redistribute(MC, MR))
+    if n <= cutoff or _depth > 30:
+        return HermitianEig(LOWER, Af)
+    # split point: median of the diagonal (cheap spectral proxy; retries
+    # shift it by fractions of the norm)
+    diag = jnp.real(jnp.diagonal(Af.data))[:n]
+    sigma0 = float(jnp.median(diag))
+    nrm = float(jnp.max(jnp.abs(Af.data)))
+    for attempt in range(4):
+        sigma = sigma0 + (0.0, 0.25, -0.25, 0.5)[attempt] * nrm
+        shifted = Af.data - sigma * (
+            jax.lax.broadcasted_iota(jnp.int32, Af.data.shape, 0)
+            == jax.lax.broadcasted_iota(jnp.int32, Af.data.shape, 1)
+        ).astype(Af.dtype) * (
+            jax.lax.broadcasted_iota(jnp.int32, Af.data.shape, 0) < n
+        ).astype(Af.dtype)
+        S = qdwh(shifted, n)  # Hermitian => polar factor == sign
+        S = 0.5 * (S + jnp.conj(S.T))
+        P = Af.with_data(0.5 * (
+            jnp.eye(S.shape[0], dtype=S.dtype)
+            * (jnp.arange(S.shape[0]) < n)[None, :] - S))
+        k = int(round(float(jnp.real(jnp.trace(P.data[:n, :n])))))
+        if 0 < k < n:
+            break
+    else:
+        return HermitianEig(LOWER, Af)
+    fact, _ = ColPivQR(P)
+    Qfull = ExpandPackedReflectors(fact.packed.data, fact.tau, 64,
+                                   min(P.m, P.n), fact.packed.data.shape[0])
+    V = Qfull[:n, :n]
+    At = jnp.conj(V.T) @ Af.data[:n, :n] @ V
+    A1 = DistMatrix.from_global(At[:k, :k], MC, MR, A.grid)
+    A2 = DistMatrix.from_global(At[k:, k:], MC, MR, A.grid)
+    w1, Q1 = HermitianEigSDC(LOWER, A1, cutoff, _depth + 1)
+    w2, Q2 = HermitianEigSDC(LOWER, A2, cutoff, _depth + 1)
+    w = jnp.concatenate([w1[:k], w2[: n - k]])
+    order = jnp.argsort(w)
+    Qc = jnp.zeros((n, n), Af.dtype)
+    Qc = Qc.at[:k, :k].set(Q1.data[:k, :k].astype(Af.dtype))
+    Qc = Qc.at[k:, k:].set(Q2.data[: n - k, : n - k].astype(Af.dtype))
+    Qg = (V @ Qc)[:, order]
+    Qdm = DistMatrix.from_global(Qg, MC, MR, A.grid)
+    return w[order], Qdm
+
+
 def SkewHermitianEig(uplo: UpperOrLower, G: DistMatrix, vectors: bool = True,
                      ctrl: Optional[HermitianEigCtrl] = None):
     """Eigenvalues i*w of a skew-Hermitian G via HermitianEig(i G)

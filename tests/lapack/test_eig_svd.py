@@ -136,3 +136,51 @@ def test_svd_gkl(grid, rng):
     recon = (U.global_array() * np.asarray(s)[None, :]) @ \
         V.global_array().conj().T
     assert np.linalg.norm(recon - a) / np.linalg.norm(a) < 1e-9
+
+
+def test_hermitian_eig_sdc(grid, rng):
+    """QDWH sign-based spectral divide-and-conquer path."""
+    from elementalx.lapack.hermitian_eig import HermitianEigSDC
+
+    n = 48
+    a = rng.standard_normal((n, n))
+    a = a + a.T
+    w, Q = HermitianEigSDC(LOWER, DistMatrix.from_global(a, grid=grid),
+                           cutoff=16)
+    w, q = np.asarray(w), Q.global_array()
+    wref = np.linalg.eigvalsh(a)
+    assert np.max(np.abs(w - wref)) / np.max(np.abs(wref)) < 1e-11
+    assert np.linalg.norm(a @ q - q * w[None, :]) / np.linalg.norm(a) < 1e-11
+
+
+def test_hermitian_eig_subset(grid, rng):
+    from elementalx.lapack.hermitian_eig import HermitianEigSubset
+
+    n = 20
+    a = rng.standard_normal((n, n))
+    a = a + a.T
+    w, Q = HermitianEigSubset(LOWER, DistMatrix.from_global(a, grid=grid),
+                              5, 9)
+    wref = np.linalg.eigvalsh(a)[5:10]
+    assert np.max(np.abs(np.asarray(w) - wref)) < 1e-11
+    q = Q.global_array()
+    assert np.linalg.norm(a @ q - q * np.asarray(w)[None, :]) < 1e-10
+
+
+def test_gqr_grq(grid, rng):
+    from elementalx.lapack.gqr import GQR, GRQ
+
+    A = DistMatrix.from_global(rng.standard_normal((12, 8)), grid=grid)
+    B = DistMatrix.from_global(rng.standard_normal((12, 10)), grid=grid)
+    Q, R, T, Z = GQR(A, B)
+    assert np.linalg.norm(Q.global_array() @ R.global_array()
+                          - A.global_array()) < 1e-11
+    assert np.linalg.norm(Q.global_array() @ T.global_array()
+                          @ Z.global_array() - B.global_array()) < 1e-11
+    A2 = DistMatrix.from_global(rng.standard_normal((8, 12)), grid=grid)
+    B2 = DistMatrix.from_global(rng.standard_normal((10, 12)), grid=grid)
+    R2, Q2, Z2, T2 = GRQ(A2, B2)
+    assert np.linalg.norm(R2.global_array() @ Q2.global_array()
+                          - A2.global_array()) < 1e-11
+    assert np.linalg.norm(Z2.global_array() @ T2.global_array()
+                          @ Q2.global_array() - B2.global_array()) < 1e-11
