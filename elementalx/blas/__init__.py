@@ -32,3 +32,4 @@ from .level3 import (  # noqa: F401
     TwoSidedTrmm,
     TwoSidedTrsm,
 )
+from .contract import AxpyContract, Contract  # noqa: F401

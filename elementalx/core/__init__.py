@@ -74,3 +74,15 @@ from .environment import (  # noqa: F401
     blocksize,
 )
 from .random_ import SampleNormal, SampleUniform, SeedRandom, next_key  # noqa: F401
+from . import flame  # noqa: F401
+from .flame import (  # noqa: F401
+    ALL,
+    IR,
+    Merge1x2,
+    Merge2x1,
+    Merge2x2,
+    Partition1x2,
+    Partition2x1,
+    Partition2x2,
+    View,
+)

@@ -89,3 +89,6 @@ from .secular import CubicSecular, SecularEVD, SecularSVD  # noqa: F401
 from . import gqr  # noqa: F401
 from .gqr import GQR, GRQ  # noqa: F401
 from .hermitian_eig import HermitianEigSDC, HermitianEigSubset  # noqa: F401
+from .cholesky import CholeskyPivoted  # noqa: F401
+from . import image_kernel  # noqa: F401
+from .image_kernel import Image, ImageAndKernel, Kernel  # noqa: F401

@@ -106,6 +106,67 @@ def Cholesky(uplo: UpperOrLower, A: DistMatrix,
     return Adjoint(Ldm)
 
 
+def CholeskyPivoted(uplo: UpperOrLower, A: DistMatrix
+                    ) -> Tuple[DistMatrix, "jax.Array"]:
+    """Diagonally-pivoted (full-pivoted) Cholesky, P A P^T = L L^H
+    (reference: factor/Cholesky/PivotedLowerVariant3.hpp). Unblocked
+    fori_loop with on-device argmax pivot selection and symmetric
+    row/column swaps; rank-revealing for PSD matrices."""
+    n = A.m
+    d = _prep_hpd(A, uplo)
+    M = d.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
+    perm0 = jnp.arange(M, dtype=jnp.int32)
+
+    def _swap_sym(a, i, j):
+        ri = jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
+        rj = jax.lax.dynamic_index_in_dim(a, j, 0, keepdims=False)
+        a = jax.lax.dynamic_update_index_in_dim(a, rj[None, :], i, 0)
+        a = jax.lax.dynamic_update_index_in_dim(a, ri[None, :], j, 0)
+        ci = jax.lax.dynamic_index_in_dim(a, i, 1, keepdims=False)
+        cj = jax.lax.dynamic_index_in_dim(a, j, 1, keepdims=False)
+        a = jax.lax.dynamic_update_index_in_dim(a, cj[:, None], i, 1)
+        return jax.lax.dynamic_update_index_in_dim(a, ci[:, None], j, 1)
+
+    eps = jnp.finfo(jnp.real(d).dtype).eps
+    tol = eps * n * jnp.maximum(jnp.max(jnp.real(jnp.diagonal(d))[:n]
+                                        if n else 1.0), 1.0)
+
+    def step(k, carry):
+        a, perm = carry
+        dg = jnp.real(jnp.diagonal(a))
+        act = (rows >= k) & (rows < n)
+        p = jnp.argmax(jnp.where(act, dg, -jnp.inf)).astype(jnp.int32)
+        a = _swap_sym(a, k, p)
+        t = perm[k]
+        perm = perm.at[k].set(perm[p]).at[p].set(t)
+        piv = jnp.real(a[k, k])
+        # numerically semidefinite: once the best pivot falls below the
+        # tolerance, the remaining block is rank-exhausted — zero column
+        # (reference's pivoted variant breaks out; fixed-trip here)
+        dead = piv <= tol
+        safe = jnp.where(dead, jnp.ones((), piv.dtype), piv)
+        root = jnp.sqrt(safe).astype(a.dtype)
+        col = jax.lax.dynamic_index_in_dim(a, k, 1, keepdims=False)
+        below = rows > k
+        l = jnp.where(below & ~dead, col / root, jnp.zeros_like(col))
+        lk = l.at[k].set(jnp.where(dead, jnp.zeros((), a.dtype), root))
+        a = jax.lax.dynamic_update_index_in_dim(a, lk[:, None], k, 1)
+        return a - jnp.outer(l, jnp.conj(l)).at[k, :].set(0).at[:, k].set(0), \
+            perm
+
+    d, perm = jax.lax.fori_loop(0, n, step, (d, perm0))
+    Ldm = A.redistribute(MC, MR).with_data(_strip_pad_diag(d, n))
+    Ldm = MakeTrapezoidal(LOWER, Ldm)
+    if uplo == UPPER:
+        from ..blas.level1 import Adjoint
+
+        Ldm = Adjoint(Ldm)
+    from .perm import Permutation
+
+    return Ldm, Permutation(perm, n)
+
+
 def SolveAfter(uplo: UpperOrLower, orientation: Orientation,
                A: DistMatrix, B: DistMatrix) -> DistMatrix:
     """Solve using a computed Cholesky factor
