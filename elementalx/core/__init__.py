@@ -86,3 +86,5 @@ from .flame import (  # noqa: F401
     Partition2x2,
     View,
 )
+from . import block  # noqa: F401
+from .block import BlockMatrix, FillDesc, block_cyclic_perm  # noqa: F401

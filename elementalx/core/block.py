@@ -1,0 +1,101 @@
+"""Block-cyclic (ScaLAPACK-compatible) matrices — the BLOCK wrap.
+
+Reference: include/El/core/DistMatrix/Block.hpp:20-218 (the 13
+distributions with blockHeight/blockWidth + cuts) and the ScaLAPACK
+descriptor interop (FillDesc, include/El/core/DistMatrix.hpp:74-86).
+
+TPU mapping: XLA shardings are block-contiguous, so a block-cyclic
+layout is realised as an *index permutation*: reordering global rows/
+columns by (owning process, local offset) makes the cyclic ownership
+pattern contiguous, after which the standard [MC,MR] sharding places
+every element on exactly the device a ScaLAPACK distribution would.
+``BlockMatrix`` carries the permuted DistMatrix plus the permutations;
+element<->block conversion is one gather each way (XLA: all-to-all).
+
+Note the load-balance role block-cyclic plays in MPI factorizations is
+already covered here by full-size masked updates (every device always
+touches its whole shard), so BLOCK wrap is primarily interop/parity."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from .dmatrix import DistMatrix, pad_array
+from .grid import Grid
+from .types import BLOCK, Dist, MC, MR
+
+
+def block_cyclic_perm(n_padded: int, nb: int, p: int) -> np.ndarray:
+    """Permutation pi with pi[k] = global index stored at position k when
+    cyclic blocks of size nb over p processes are made owner-contiguous.
+    Ownership: index i belongs to process (i // nb) %% p (ScaLAPACK)."""
+    idx = np.arange(n_padded)
+    owner = (idx // nb) % p
+    local = (idx // (nb * p)) * nb + idx % nb
+    order = np.lexsort((local, owner))
+    return order
+
+
+class BlockMatrix:
+    """An m x n matrix in block-cyclic layout over the grid.
+
+    ``dm`` holds the row/column-permuted data distributed [MC,MR]; the
+    element at logical (i, j) lives where ScaLAPACK's (bh, bw) cyclic
+    distribution puts it."""
+
+    def __init__(self, dm: DistMatrix, row_perm: np.ndarray,
+                 col_perm: np.ndarray, bh: int, bw: int,
+                 m: int, n: int):
+        self.dm = dm
+        self.row_perm = row_perm
+        self.col_perm = col_perm
+        self.block_height = bh
+        self.block_width = bw
+        self.m = m
+        self.n = n
+
+    @staticmethod
+    def from_element(A: DistMatrix, bh: int = 32, bw: int = 32
+                     ) -> "BlockMatrix":
+        """ELEMENT -> BLOCK redistribution (reference: the
+        ElementMatrix <-> BlockMatrix operator= pairs)."""
+        g = A.grid
+        P, Q = A.data.shape
+        rp = block_cyclic_perm(P, bh, g.height)
+        cp = block_cyclic_perm(Q, bw, g.width)
+        data = A.data[jnp.asarray(rp), :][:, jnp.asarray(cp)]
+        dm = DistMatrix.from_padded(data, A.m, A.n, MC, MR, g, BLOCK)
+        return BlockMatrix(dm, rp, cp, bh, bw, A.m, A.n)
+
+    def to_element(self) -> DistMatrix:
+        """BLOCK -> ELEMENT."""
+        inv_r = np.argsort(self.row_perm)
+        inv_c = np.argsort(self.col_perm)
+        data = self.dm.data[jnp.asarray(inv_r), :][:, jnp.asarray(inv_c)]
+        return DistMatrix.from_padded(data, self.m, self.n, MC, MR,
+                                      self.dm.grid)
+
+    def global_array(self) -> np.ndarray:
+        return self.to_element().global_array()
+
+    def owner(self, i: int, j: int) -> Tuple[int, int]:
+        """(process row, process col) owning logical element (i, j) —
+        matches ScaLAPACK's indxg2p."""
+        g = self.dm.grid
+        return ((i // self.block_height) % g.height,
+                (j // self.block_width) % g.width)
+
+    def descriptor(self) -> np.ndarray:
+        """ScaLAPACK descriptor array (reference: FillDesc,
+        include/El/core/DistMatrix.hpp:74-86). DTYPE_=1, CTXT_=0."""
+        return np.asarray([1, 0, self.m, self.n, self.block_height,
+                           self.block_width, 0, 0,
+                           max(1, -(-self.m // self.dm.grid.height))],
+                          np.int64)
+
+
+def FillDesc(B: BlockMatrix) -> np.ndarray:
+    return B.descriptor()

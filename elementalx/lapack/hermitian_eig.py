@@ -112,7 +112,7 @@ def HermitianEigSDC(uplo: UpperOrLower, A: DistMatrix, cutoff: int = 128,
     from ..blas.level1 import MakeHermitian
     from ..core.dmatrix import pad_array
     from .polar import qdwh
-    from .qr import ColPivQR
+    from .qr import _qr_packed
     from .reflect import ExpandPackedReflectors
 
     n = A.m
@@ -142,9 +142,16 @@ def HermitianEigSDC(uplo: UpperOrLower, A: DistMatrix, cutoff: int = 128,
             break
     else:
         return HermitianEig(LOWER, Af)
-    fact, _ = ColPivQR(P)
-    Qfull = ExpandPackedReflectors(fact.packed.data, fact.tau, 64,
-                                   min(P.m, P.n), fact.packed.data.shape[0])
+    # invariant-subspace basis via a randomized range finder + blocked QR:
+    # P G spans range(P) (exact projector, rank k) w.h.p.; the FULL Q of
+    # its QR supplies the orthogonal complement for V2. O(n^2 k) MXU work
+    # vs. the O(n) sequential steps of column-pivoted QR.
+    key = jax.random.key(1234 + _depth)
+    G = jax.random.normal(key, (n, n), jnp.real(Af.data).dtype).astype(
+        Af.dtype)
+    PG = P.data[:n, :n] @ G
+    packed, tau = _qr_packed(PG, n, n, 64)
+    Qfull = ExpandPackedReflectors(packed, tau, 64, n, n)
     V = Qfull[:n, :n]
     At = jnp.conj(V.T) @ Af.data[:n, :n] @ V
     A1 = DistMatrix.from_global(At[:k, :k], MC, MR, A.grid)

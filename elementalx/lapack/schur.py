@@ -162,7 +162,7 @@ def _schur_sdc(A: DistMatrix, want_vecs: bool, min_block: int = 32,
     if n <= min_block or depth > 20:
         return Schur(A, want_vecs, alg="qr")
     from .funcs import Sign
-    from .qr import ColPivQR
+    from .qr import _qr_packed
     from ..blas.level1 import ShiftDiagonal, Trace as _tr
 
     sigma = jnp.trace(A.data[:n, :n]) / n
@@ -174,12 +174,16 @@ def _schur_sdc(A: DistMatrix, want_vecs: bool, min_block: int = 32,
     k = int(np.round(float(jnp.real(jnp.trace(Pm.data[:n, :n])))))
     if k == 0 or k == n:
         return Schur(A, want_vecs, alg="qr")
-    fact, perm = ColPivQR(Pm)  # rank-revealing: leading k cols span range(P)
+    # randomized range finder (blocked QR of P G) — O(n^2 k) MXU work,
+    # first k columns span the invariant subspace w.h.p.
     from .reflect import ExpandPackedReflectors
 
-    Qfull = ExpandPackedReflectors(fact.packed.data, fact.tau, 32,
-                                   min(Pm.m, Pm.n),
-                                   fact.packed.data.shape[0])
+    key = jax.random.key(4321 + depth)
+    G = jax.random.normal(key, (n, n), jnp.real(Pm.data).dtype).astype(
+        Pm.dtype)
+    PG = Pm.data[:n, :n] @ G
+    packed, tau = _qr_packed(PG, n, n, 64)
+    Qfull = ExpandPackedReflectors(packed, tau, 64, n, n)
     q = Qfull[:n, :n]
     Ad = A.redistribute(MC, MR).data[:n, :n]
     At = jnp.conj(q.T) @ Ad @ q  # block upper triangular (approx)

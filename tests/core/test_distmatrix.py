@@ -110,3 +110,24 @@ def test_dtype_preserved(grid, rng):
         B = A.redistribute(El.VR, El.STAR)
         assert B.dtype == dt
         np.testing.assert_array_equal(B.global_array(), a)
+
+
+def test_block_cyclic_wrap(grid, rng):
+    """BLOCK-wrap conformance (reference: tests/core/BasicBlockDistMatrix
+    .cpp): element<->block round trip preserves the matrix; ownership
+    matches ScaLAPACK's cyclic map."""
+    from elementalx.core.block import BlockMatrix, FillDesc
+
+    a = rng.standard_normal((20, 12))
+    A = DistMatrix.from_global(a, grid=grid)
+    B = BlockMatrix.from_element(A, bh=4, bw=2)
+    assert B.dm.wrap == El.BLOCK
+    np.testing.assert_array_equal(B.global_array(), a)
+    C = B.to_element()
+    np.testing.assert_array_equal(C.global_array(), a)
+    # ScaLAPACK ownership: element (i, j) on process ((i//bh)%r, (j//bw)%c)
+    assert B.owner(0, 0) == (0, 0)
+    assert B.owner(4, 0) == (1 % grid.height, 0)
+    assert B.owner(0, 2) == (0, 1 % grid.width)
+    desc = FillDesc(B)
+    assert desc[2] == 20 and desc[4] == 4 and desc[5] == 2
