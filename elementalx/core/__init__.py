@@ -88,3 +88,5 @@ from .flame import (  # noqa: F401
 )
 from . import block  # noqa: F401
 from .block import BlockMatrix, FillDesc, block_cyclic_perm  # noqa: F401
+from . import matrix  # noqa: F401
+from .matrix import Matrix  # noqa: F401

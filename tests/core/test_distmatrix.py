@@ -131,3 +131,21 @@ def test_block_cyclic_wrap(grid, rng):
     assert B.owner(0, 2) == (0, 1 % grid.width)
     desc = FillDesc(B)
     assert desc[2] == 20 and desc[4] == 4 and desc[5] == 2
+
+
+def test_local_matrix(rng):
+    """Local Matrix facade (reference: include/El/core/Matrix/decl.hpp)."""
+    from elementalx import Matrix
+
+    M = Matrix(4, 3)
+    assert (M.height, M.width) == (4, 3)
+    M.set(1, 2, 5.0)
+    M.update(1, 2, 1.5)
+    assert float(M.get(1, 2)) == 6.5
+    M.resize(6, 3)
+    assert M.height == 6 and float(M.get(1, 2)) == 6.5
+    a = rng.standard_normal((5, 4))
+    M2 = Matrix.from_array(a)
+    np.testing.assert_allclose(M2.numpy(), a)
+    D = M2.to_dist()
+    np.testing.assert_allclose(D.global_array(), a)
