@@ -20,6 +20,8 @@ The base-case block factorization is XLA's on-device Cholesky.
 
 from __future__ import annotations
 
+import functools
+
 from typing import Optional, Tuple
 
 import jax
@@ -87,6 +89,7 @@ def _strip_pad_diag(L: jax.Array, m: int) -> jax.Array:
     return jnp.where(pad_diag, jnp.zeros((), L.dtype), L)
 
 
+@functools.partial(jax.jit, static_argnames=('uplo', 'blocksize'))
 def Cholesky(uplo: UpperOrLower, A: DistMatrix,
              blocksize: Optional[int] = None) -> DistMatrix:
     """Return the Cholesky factor in the uplo triangle
@@ -179,6 +182,7 @@ def SolveAfter(uplo: UpperOrLower, orientation: Orientation,
     return Trsm(LEFT, UPPER, NORMAL, NON_UNIT, 1.0, A, Y)
 
 
+@functools.partial(jax.jit, static_argnames=('uplo', 'blocksize'))
 def ReverseCholesky(uplo: UpperOrLower, A: DistMatrix,
                     blocksize: Optional[int] = None) -> DistMatrix:
     """Reverse factorization (LOWER: A = L^H L; reference:

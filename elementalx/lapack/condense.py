@@ -15,6 +15,8 @@ future work, noted in SURVEY §7.)"""
 
 from __future__ import annotations
 
+import functools
+
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -80,6 +82,7 @@ def _tridiag_panel(a0, a, V, W, tau, k0, nb, m):
     return jax.lax.fori_loop(0, nb, col_step, (a, V, W, tau))
 
 
+@functools.partial(jax.jit, static_argnames=('uplo', 'blocksize'))
 def HermitianTridiag(uplo: UpperOrLower, A: DistMatrix,
                      blocksize: Optional[int] = None
                      ) -> TridiagFactorization:
@@ -165,6 +168,7 @@ class BidiagFactorization(NamedTuple):
     phaseV: jax.Array
 
 
+@functools.partial(jax.jit, static_argnames=())
 def Bidiag(A: DistMatrix) -> BidiagFactorization:
     """Golub-Kahan upper bidiagonalization A = U B V^H for m >= n
     (reference: condense/Bidiag.cpp). Unblocked full-width masked updates;
@@ -246,6 +250,7 @@ class HessenbergFactorization(NamedTuple):
     tau: jax.Array
 
 
+@functools.partial(jax.jit, static_argnames=('uplo',))
 def Hessenberg(uplo: UpperOrLower, A: DistMatrix) -> HessenbergFactorization:
     """Reduce to upper Hessenberg form A = Q H Q^H
     (reference: condense/Hessenberg.cpp; unblocked two-sided sweeps)."""

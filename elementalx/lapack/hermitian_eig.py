@@ -11,6 +11,8 @@ blocked compact-WY ApplyQ — all MXU matmuls."""
 
 from __future__ import annotations
 
+import functools
+
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -43,6 +45,7 @@ class HermitianEigCtrl(NamedTuple):
     sort: SortType = ASCENDING
 
 
+@functools.partial(jax.jit, static_argnames=('uplo', 'vectors', 'ctrl'))
 def HermitianEig(uplo: UpperOrLower, A: DistMatrix, vectors: bool = True,
                  ctrl: Optional[HermitianEigCtrl] = None):
     """Full spectrum (w ascending) and optionally eigenvectors Q

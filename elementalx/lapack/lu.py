@@ -15,6 +15,8 @@ decisions never leave the device (SURVEY §7 hard-parts: fixed-trip loops
 
 from __future__ import annotations
 
+import functools
+
 from typing import Optional, Tuple
 
 import jax
@@ -85,6 +87,7 @@ def _lu_panel(a: jax.Array, perm: jax.Array, k0: int, nb: int, m: int
     return jax.lax.fori_loop(0, nb, col_step, (a, perm))
 
 
+@functools.partial(jax.jit, static_argnames=('blocksize',))
 def LU(A: DistMatrix, blocksize: Optional[int] = None
        ) -> Tuple[DistMatrix, Permutation]:
     """Partially-pivoted LU: returns (packed LU, P) with P A = L U, unit L

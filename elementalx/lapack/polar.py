@@ -32,6 +32,10 @@ def _qdwh_params(l: jax.Array):
     return a, b, c
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("m", "nb", "max_its"))
 def qdwh(a: jax.Array, m: int, nb: int = 128, max_its: int = 10,
          l0: Optional[jax.Array] = None) -> jax.Array:
     """Unitary polar factor of the (padded, square with identity padding
@@ -40,7 +44,8 @@ def qdwh(a: jax.Array, m: int, nb: int = 128, max_its: int = 10,
     QR-based iteration:
       [Q1; Q2] = qr([sqrt(c) X; I]),
       X <- (b/c) X + (1/sqrt(c)) (a - b/c) Q1 Q2^H
-    """
+    jitted as one while_loop with the convergence test (lower bound l
+    reaching 1) in-graph."""
     M = a.shape[0]
     rdt = jnp.real(a).dtype
     eps = jnp.finfo(rdt).eps
@@ -52,27 +57,30 @@ def qdwh(a: jax.Array, m: int, nb: int = 128, max_its: int = 10,
 
     eyeM = jnp.eye(M, dtype=a.dtype)
 
-    for _ in range(max_its):
+    def cond(carry):
+        X, l, k = carry
+        return (k < max_its) & (l < 1.0 - 10 * eps)
+
+    def body(carry):
+        X, l, k = carry
         aa, bb, cc = _qdwh_params(jnp.maximum(l, eps))
         sc = jnp.sqrt(cc).astype(a.dtype)
-        # QR of the stacked [sqrt(c) X; I]; the zero padding of X makes the
-        # corresponding Q1 rows/cols zero, so padding stays zero throughout.
+        # QR of the stacked [sqrt(c) X; I]; the zero padding of X makes
+        # the corresponding Q1 rows/cols zero, so padding stays zero.
         stacked = jnp.concatenate([sc * X, eyeM], axis=0)
         packed, tau = _qr_packed(stacked, 2 * M, M, nb)
-        Q = ApplyPackedReflectors(packed, tau, jnp.eye(2 * M, M, dtype=a.dtype),
+        Q = ApplyPackedReflectors(packed, tau,
+                                  jnp.eye(2 * M, M, dtype=a.dtype),
                                   nb, M, adjoint=False)
         Q1, Q2 = Q[:M], Q[M:]
         coef = ((aa - bb / cc) / jnp.sqrt(cc)).astype(a.dtype)
         X = (bb / cc).astype(a.dtype) * X + coef * local_gemm(
             Q1, jnp.conj(Q2.T))
         l = l * (aa + bb * l * l) / (1.0 + cc * l * l)
-        l = jnp.minimum(l, 1.0)
-        try:  # eager early exit once the lower bound has converged to 1
-            if float(l) > 1.0 - 10 * float(eps):
-                break
-        except (jax.errors.TracerArrayConversionError, TypeError):
-            pass
+        return X, jnp.minimum(l, 1.0), k + 1
 
+    X, l, _ = jax.lax.while_loop(cond, body,
+                                 (X, l, jnp.zeros((), jnp.int32)))
     return X
 
 

@@ -15,6 +15,8 @@ call) with a gathered second-stage QR."""
 
 from __future__ import annotations
 
+import functools
+
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -98,6 +100,7 @@ def _qr_packed(a: jax.Array, m: int, n: int, nb: int
     return a, tau
 
 
+@functools.partial(jax.jit, static_argnames=('blocksize',))
 def QR(A: DistMatrix, blocksize: Optional[int] = None) -> QRFactorization:
     """Householder QR of an m x n matrix (reference: QR.cpp driver)."""
     Am = A.redistribute(MC, MR)

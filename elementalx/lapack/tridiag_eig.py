@@ -16,6 +16,8 @@ Everything is jittable with static shapes."""
 
 from __future__ import annotations
 
+import functools
+
 from typing import Optional, Tuple
 
 import jax
@@ -58,6 +60,7 @@ def _gershgorin(d: jax.Array, e: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return jnp.min(d - r), jnp.max(d + r)
 
 
+@functools.partial(jax.jit, static_argnames=('iters',))
 def tridiag_eigvalsh(d: jax.Array, e: jax.Array, iters: int = 0
                      ) -> jax.Array:
     """All eigenvalues of the symmetric tridiagonal (d, e), ascending, by
@@ -130,6 +133,7 @@ def _solve_shifted(d: jax.Array, e: jax.Array, lam: jax.Array,
     return xr[::-1]
 
 
+@functools.partial(jax.jit, static_argnames=('invit_steps', 'ortho_window', 'ortho_passes'))
 def tridiag_eig(d: jax.Array, e: jax.Array, invit_steps: int = 3,
                 ortho_window: int = 8, ortho_passes: int = 2
                 ) -> Tuple[jax.Array, jax.Array]:
