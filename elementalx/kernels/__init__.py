@@ -21,3 +21,4 @@ from .elementwise import (  # noqa: F401
     transpose,
 )
 from .trrk import masked_rank_k  # noqa: F401
+from .ozaki import matmul_f64_emulated  # noqa: F401

@@ -59,3 +59,28 @@ def test_matmul_pallas_rejects_ragged():
     b = jnp.ones((128, 128), jnp.float32)
     with pytest.raises(ValueError):
         matmul_pallas(a, b, bm=128, bn=128, bk=128)
+
+
+def test_f64_emulated_matmul(rng):
+    """Ozaki-split f64 emulation (BASELINE 'f64-emulation correctness
+    mode'): f64-grade accuracy from exact bf16 MXU products."""
+    from elementalx.kernels.ozaki import matmul_f64_emulated
+
+    for n in (64, 160):
+        a = rng.standard_normal((n, n))
+        b = rng.standard_normal((n, n))
+        c = matmul_f64_emulated(a, b)
+        ref = a @ b
+        rel = np.max(np.abs(c - ref)) / np.max(np.abs(ref))
+        assert rel < 1e-12, f"n={n}: {rel}"
+        f32rel = np.max(np.abs(
+            (a.astype(np.float32) @ b.astype(np.float32)).astype(np.float64)
+            - ref)) / np.max(np.abs(ref))
+        assert rel < 1e-4 * f32rel  # orders beyond plain f32
+
+    # wide dynamic range
+    a = rng.standard_normal((96, 128)) * np.logspace(-8, 8, 128)[None, :]
+    b = rng.standard_normal((128, 64))
+    c = matmul_f64_emulated(a, b)
+    ref = a @ b
+    assert np.max(np.abs(c - ref)) / np.max(np.abs(ref)) < 1e-12
