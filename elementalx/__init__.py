@@ -12,6 +12,17 @@ DistMatrices) as JAX requires.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# LAPACK-grade accuracy is this library's contract: on TPU the default
+# matmul precision demotes f32 operands to bf16 (2^-8-grade), which is
+# catastrophic for factorizations. Opt out (e.g. for ML-style pipelines
+# embedding elementalx) with ELEMENTALX_NO_PRECISION_OVERRIDE=1.
+if not _os.environ.get("ELEMENTALX_NO_PRECISION_OVERRIDE"):
+    _jax.config.update("jax_default_matmul_precision", "highest")
+
 from .core import *  # noqa: F401,F403
 from .core import redistribute as copy  # noqa: F401  (the copy:: namespace)
 from . import blas  # noqa: F401
