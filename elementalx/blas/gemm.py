@@ -343,3 +343,55 @@ def Gemm(
 
     prod_dm = DistMatrix.from_padded(prod, m, n, MC, MR, A.grid, A.wrap)
     return _accumulate(C, prod_dm, alpha, beta)
+
+
+def Gemm3D(A: DistMatrix, B: DistMatrix, depth: int = 2,
+           alpha=1.0) -> DistMatrix:
+    """3-D (depth-replicated) GEMM (reference: experimental/g3d/
+    G3DGemm.cpp — mesh x depth comm split :16-30, DepthBroadcast :105,
+    per-layer product, SumContributions reduce :304).
+
+    The grid's devices are reshaped into an (r', c', depth) mesh; K is
+    split across the depth axis, each layer multiplies its K-slab
+    locally, and one psum over 'md' reduces the contributions."""
+    import numpy as np
+
+    check_same_grid(A, B)
+    g = A.grid
+    p = g.size
+    if p % depth != 0:
+        raise ValueError(f"depth {depth} does not divide p={p}")
+    p2 = p // depth
+    r = 1
+    for cand in range(int(p2 ** 0.5), 0, -1):
+        if p2 % cand == 0:
+            r = cand
+            break
+    c = p2 // r
+    devs = np.asarray(g.mesh.devices).reshape(-1)
+    from jax.sharding import Mesh
+
+    mesh3 = Mesh(devs.reshape(r, c, depth), ("mc", "mr", "md"))
+
+    An = A.redistribute(MC, MR).canonical()
+    Bn = B.redistribute(MC, MR).canonical()
+    if An.n != Bn.m:
+        raise ValueError("Gemm3D: inner dimension mismatch")
+    M, K = An.data.shape
+    N = Bn.data.shape[1]
+    # divisibility: K must split over depth*... pad already guarantees
+    # multiples of p >= r, c, depth products used here
+    Ad = jax.device_put(An.data, NamedSharding(mesh3, P("mc", "md")))
+    Bd = jax.device_put(Bn.data, NamedSharding(mesh3, P("md", "mr")))
+
+    def body(a_loc, b_loc):
+        part = local_gemm(a_loc, b_loc)   # (M/r, N/c) layer contribution
+        return jax.lax.psum(part, "md")
+
+    f = shard_map(body, mesh=mesh3,
+                  in_specs=(P("mc", "md"), P("md", "mr")),
+                  out_specs=P("mc", "mr"))
+    prod = f(Ad, Bd)
+    prod = jax.device_put(prod, g.sharding(MC, MR))
+    out = DistMatrix.from_padded(prod, An.m, Bn.n, MC, MR, g, A.wrap)
+    return out.with_data(out.data * jnp.asarray(alpha, out.dtype))

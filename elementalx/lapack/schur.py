@@ -259,3 +259,60 @@ def Eig(A: DistMatrix, want_vecs: bool = True, alg: str = "qr"):
     nx = jnp.sqrt(jnp.sum(jnp.abs(X.data) ** 2, axis=0))
     X = X.with_data(X.data / jnp.where(nx == 0, 1, nx)[None, :])
     return EigDecomposition(dec.w, X)
+
+
+def _swap_adjacent(T: np.ndarray, Z, k: int) -> None:
+    """Swap eigenvalues T[k,k] and T[k+1,k+1] of a complex upper
+    triangular T by a unitary similarity, updating T (and Z) in place
+    (reference: spectral/Schur/SchurSwap; LAPACK ztrexc's Givens step)."""
+    a = T[k, k]
+    b = T[k, k + 1]
+    c = T[k + 1, k + 1]
+    # eigenvector of [[a, b], [0, c]] for eigenvalue c: v = (b, c - a)
+    v0, v1 = b, c - a
+    nrm = np.hypot(abs(v0), abs(v1))
+    if nrm == 0.0:  # equal eigenvalues with b == 0: nothing to do
+        return
+    cs = v0 / nrm
+    sn = v1 / nrm
+    G = np.array([[cs, -np.conj(sn)], [sn, np.conj(cs)]])
+    T[k:k + 2, :] = G.conj().T @ T[k:k + 2, :]
+    T[:, k:k + 2] = T[:, k:k + 2] @ G
+    T[k + 1, k] = 0.0
+    if Z is not None:
+        Z[:, k:k + 2] = Z[:, k:k + 2] @ G
+
+
+def SchurSwap(dec: SchurDecomposition, k: int) -> SchurDecomposition:
+    """Swap adjacent eigenvalues k, k+1 of a Schur decomposition
+    (reference: spectral/Schur/SchurSwap)."""
+    n = dec.T.m
+    T = np.asarray(jax.device_get(dec.T.data))[:n, :n].copy()
+    Z = None if dec.Z is None else \
+        np.asarray(jax.device_get(dec.Z.data))[:n, :n].copy()
+    _swap_adjacent(T, Z, k)
+    Tdm = DistMatrix.from_global(jnp.asarray(T), MC, MR, dec.T.grid)
+    Zdm = None if Z is None else DistMatrix.from_global(
+        jnp.asarray(Z), MC, MR, dec.T.grid)
+    return SchurDecomposition(Tdm, Zdm, jnp.diagonal(jnp.asarray(T)))
+
+
+def ReorderSchur(dec: SchurDecomposition, select) -> SchurDecomposition:
+    """Move the selected eigenvalues to the leading diagonal positions by
+    adjacent swaps (LAPACK ztrsen's reordering role; enables deflating-
+    subspace extraction from the QR-iteration path)."""
+    n = dec.T.m
+    T = np.asarray(jax.device_get(dec.T.data))[:n, :n].copy()
+    Z = None if dec.Z is None else \
+        np.asarray(jax.device_get(dec.Z.data))[:n, :n].copy()
+    sel = np.asarray(select, bool).copy()
+    top = 0
+    for i in range(n):
+        if sel[i]:
+            for k in range(i - 1, top - 1, -1):  # bubble up
+                _swap_adjacent(T, Z, k)
+            top += 1
+    Tdm = DistMatrix.from_global(jnp.asarray(T), MC, MR, dec.T.grid)
+    Zdm = None if Z is None else DistMatrix.from_global(
+        jnp.asarray(Z), MC, MR, dec.T.grid)
+    return SchurDecomposition(Tdm, Zdm, jnp.diagonal(jnp.asarray(T)))

@@ -9,8 +9,9 @@ Design: Mehrotra predictor-corrector with the full (unreduced) Newton
 system solved by the distributed pivoted LU each step — every iteration
 is dense MXU work. The sparse-KKT path routes through the multifrontal
 LDL (sparse/ldl.py) exactly as upstream's sparse IPMs rode on the
-Clique solver. SOCP awaits a later round (documented gap)."""
+Clique solver. SOCP uses the Jordan-algebra (AHO) direction (socp.py)."""
 
 from .mps import read_mps  # noqa: F401
 from .lp import LP, LPSolution, LinearProgram  # noqa: F401
 from .qp import QP, QuadraticProgram  # noqa: F401
+from .socp import SOCP, SecondOrderConeProgram  # noqa: F401

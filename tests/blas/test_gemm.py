@@ -112,3 +112,16 @@ def test_gemm_summa_c_blocked(grid, rng):
     B = DistMatrix.from_global(b, grid=grid)
     out = Gemm(NORMAL, NORMAL, 1.0, A, B, alg=GEMM_SUMMA_C, blocksize=8)
     assert _rel_err(out.global_array(), a @ b) < 1e-12
+
+
+def test_gemm_3d(grid, rng):
+    """Depth-replicated 3-D GEMM (reference: experimental/g3d)."""
+    from elementalx.blas.gemm import Gemm3D
+
+    m, k, n = 16, 24, 16
+    a = rng.standard_normal((m, k))
+    b = rng.standard_normal((k, n))
+    A = DistMatrix.from_global(a, grid=grid)
+    B = DistMatrix.from_global(b, grid=grid)
+    out = Gemm3D(A, B, depth=2)
+    assert _rel_err(out.global_array(), a @ b) < 1e-12

@@ -90,3 +90,30 @@ def test_secular_evd(rng):
     assert np.max(np.abs(np.sort(lam) - wref)) < 1e-12
     res = np.linalg.norm(A @ V - V * lam[None, :])
     assert res < 1e-10
+
+
+def test_schur_swap_and_reorder(grid, rng):
+    from elementalx.lapack.schur import ReorderSchur, SchurSwap
+
+    n = 10
+    a = rng.standard_normal((n, n))
+    A = DistMatrix.from_global(a, grid=grid)
+    dec = Schur(A)
+    w0 = np.asarray(dec.w).copy()
+    # swap positions 2, 3
+    dec2 = SchurSwap(dec, 2)
+    T2, Z2 = dec2.T.global_array(), dec2.Z.global_array()
+    assert np.allclose(T2, np.triu(T2))
+    assert abs(T2[2, 2] - w0[3]) < 1e-10 and abs(T2[3, 3] - w0[2]) < 1e-10
+    rec = Z2 @ T2 @ Z2.conj().T
+    assert np.linalg.norm(rec - a) / np.linalg.norm(a) < 1e-11
+    # reorder: bring the 3 largest-|.| eigenvalues to the top
+    sel = np.abs(w0) >= np.sort(np.abs(w0))[-3]
+    dec3 = ReorderSchur(dec, sel)
+    T3, Z3 = dec3.T.global_array(), dec3.Z.global_array()
+    picked = np.sort(np.abs(np.diag(T3)[:3]))
+    want = np.sort(np.abs(w0[sel]))[:3]
+    np.testing.assert_allclose(picked, want, atol=1e-9)
+    rec3 = Z3 @ T3 @ Z3.conj().T
+    assert np.linalg.norm(rec3 - a) / np.linalg.norm(a) < 1e-10
+    assert np.linalg.norm(np.eye(n) - Z3.conj().T @ Z3) < 1e-11

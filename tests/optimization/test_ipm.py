@@ -83,3 +83,76 @@ def test_netlib_mps(inst):
     ref = NETLIB_OPT[inst]
     assert sol.converged, f"{inst} did not converge"
     assert abs(obj - ref) / (1 + abs(ref)) < 1e-5, f"{inst}: {obj} vs {ref}"
+
+
+def test_socp_known_solution():
+    """Single cone, x_bar pinned: optimum x0 = ||x_bar||."""
+    from elementalx.optimization.socp import SOCP
+
+    A = np.array([[0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    b = np.array([3.0, 4.0])
+    c = np.array([1.0, 0.0, 0.0])
+    sol = SOCP(A, b, c, dims=[3])
+    assert sol.converged
+    assert abs(sol.primal_obj - 5.0) < 1e-6  # ||(3,4)|| = 5
+    np.testing.assert_allclose(sol.x[1:], [3.0, 4.0], atol=1e-7)
+
+
+def test_socp_random_kkt(rng):
+    """Random feasible SOCP: check KKT conditions at the solution."""
+    from elementalx.optimization.socp import SOCP, _blocks, _in_cone_margin
+
+    dims = [3, 4, 5]
+    n = sum(dims)
+    m = 4
+    blocks = _blocks(dims)
+    # strictly feasible primal/dual construction
+    xstar = np.zeros(n)
+    zstar = np.zeros(n)
+    for sl in blocks:
+        v = rng.standard_normal(sl.stop - sl.start - 1)
+        xstar[sl] = np.concatenate([[np.linalg.norm(v) + 1.0], v])
+        w = rng.standard_normal(sl.stop - sl.start - 1)
+        zstar[sl] = np.concatenate([[np.linalg.norm(w) + 1.0], w])
+    A = rng.standard_normal((m, n))
+    b = A @ xstar
+    ystar = rng.standard_normal(m)
+    c = A.T @ ystar + zstar
+    sol = SOCP(A, b, c, dims)
+    assert sol.converged
+    np.testing.assert_allclose(A @ sol.x, b, atol=1e-6)
+    assert _in_cone_margin(sol.x, blocks) > -1e-9
+    assert _in_cone_margin(sol.z, blocks) > -1e-9
+    np.testing.assert_allclose(A.T @ sol.y + sol.z, c, atol=1e-6)
+    gap = sol.x @ sol.z
+    assert gap < 1e-6 * (1 + abs(sol.primal_obj))
+    # primal obj ~ dual obj
+    assert abs(sol.primal_obj - sol.dual_obj) < 1e-5 * (1 + abs(sol.primal_obj))
+
+
+def test_socp_vs_slsqp(rng):
+    """Cross-check a small instance against scipy SLSQP."""
+    from scipy.optimize import NonlinearConstraint, minimize
+
+    from elementalx.optimization.socp import SOCP
+
+    dims = [4]
+    n = 4
+    m = 2
+    A = rng.standard_normal((m, n))
+    x0 = np.array([3.0, 0.5, -0.5, 1.0])
+    b = A @ x0
+    z0 = np.array([2.0, 0.3, 0.2, -0.1])
+    c = A.T @ rng.standard_normal(m) + z0
+    sol = SOCP(A, b, c, dims)
+    assert sol.converged
+
+    cons = [
+        {"type": "eq", "fun": lambda x: A @ x - b},
+        {"type": "ineq",
+         "fun": lambda x: x[0] - np.linalg.norm(x[1:]) },
+    ]
+    ref = minimize(lambda x: c @ x, x0, constraints=cons, method="SLSQP",
+                   options={"maxiter": 300, "ftol": 1e-12})
+    assert ref.success
+    assert abs(sol.primal_obj - ref.fun) < 1e-5 * (1 + abs(ref.fun))
