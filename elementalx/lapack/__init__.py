@@ -8,7 +8,7 @@ from .cholesky import (  # noqa: F401
     ReverseCholesky,
 )
 from . import lu  # noqa: F401
-from .lu import LU, LUFullPiv, LinearSolve  # noqa: F401
+from .lu import LU, LUFullPiv, LUMod, LinearSolve  # noqa: F401
 from . import perm  # noqa: F401
 from .perm import Permutation  # noqa: F401
 from . import qr  # noqa: F401

@@ -204,3 +204,178 @@ def LinearSolve(A: DistMatrix, B: DistMatrix,
     """General solve via pivoted LU (reference: solve/Linear.cpp)."""
     F, P = LU(A, blocksize)
     return SolveAfter(NORMAL, F, P, B)
+
+
+def LUMod(F: DistMatrix, P: Permutation, u, v, conjugate: bool = True,
+          tau: float = 0.1) -> Tuple[DistMatrix, Permutation]:
+    """Rank-one update of a partially-pivoted LU factorization:
+    given P A = L U, produce P' (A + u v^H) = L' U'
+    (reference: factor/LU/Mod.hpp — the Schwetlick-Kielbasinski update
+    per Stange/Griewank/Bollhoefer, with threshold-tau pairwise pivoting;
+    at most 2*minDim-1 extra swaps).
+
+    Two O(m) sweeps of pairwise row eliminations, each step a masked
+    full-row/column vector op (VPU work) with on-device pivot decisions.
+    Requires square-or-wide A (height <= width), as in the reference."""
+    m, n = F.m, F.n
+    if m > n:
+        raise ValueError("LUMod assumes height(A) <= width(A) (Mod.hpp)")
+    minDim = m
+    Fm = F.redistribute(MC, MR)
+    d = Fm.data
+    Mp, Np = d.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (Mp,), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (Np,), 0)
+    dt = d.dtype
+    # explicit unit-L (Mp x Mp) and U (Mp x Np)
+    i2 = jax.lax.broadcasted_iota(jnp.int32, (Mp, Mp), 0)
+    j2 = jax.lax.broadcasted_iota(jnp.int32, (Mp, Mp), 1)
+    L = jnp.where(i2 > j2, d[:, :Mp], jnp.zeros((), dt))
+    L = jnp.where(i2 == j2, jnp.ones((), dt), L)
+    U = jnp.triu(d)
+    # pad U diagonal to 1 beyond the logical size for stability
+    U = jnp.where((i2 == j2) & (i2 >= m), jnp.ones((), dt),
+                  U[:, :Np] * 0 + U) if False else U
+    uvec = jnp.zeros((Mp,), dt).at[:m].set(jnp.asarray(u, dt).ravel()[:m])
+    vvec = jnp.zeros((Np,), dt).at[:n].set(jnp.asarray(v, dt).ravel()[:n])
+    if conjugate:
+        vvec = jnp.conj(vvec)
+    perm = P.perm.astype(jnp.int32)
+
+    # w := inv(L) P u
+    w = uvec[perm]
+    w = jax.lax.linalg.triangular_solve(
+        L, w[:, None], left_side=True, lower=True, unit_diagonal=True)[:, 0]
+    usub0 = jnp.zeros((Mp,), dt)
+
+    def getcol(M_, j):
+        return jax.lax.dynamic_index_in_dim(M_, j, axis=1, keepdims=False)
+
+    def setcol(M_, j, c):
+        return jax.lax.dynamic_update_index_in_dim(M_, c[:, None], j, axis=1)
+
+    def getrow(M_, i):
+        return jax.lax.dynamic_index_in_dim(M_, i, axis=0, keepdims=False)
+
+    def setrow(M_, i, r):
+        return jax.lax.dynamic_update_index_in_dim(M_, r[None, :], i, axis=0)
+
+    def _pair_step(L, U, w_i, w_ip1, lam_sub, ups_ii, ups_sub, i, pivot,
+                   sweep1):
+        """Shared pivot/no-pivot elimination on (L, U) for rows (i, i+1).
+        Returns (L, U, new_w_i, new_usub_i)."""
+        below = rows > i + 1
+        right = cols > i
+
+        li = getcol(L, i)
+        lip1 = getcol(L, i + 1)
+        ui = getrow(U, i)
+        uip1 = getrow(U, i + 1)
+
+        # ---------------- no-pivot branch ---------------- (guarded
+        # divisions: the unselected branch may divide by zero)
+        def _safe(a, b):
+            return a / jnp.where(b == 0, jnp.ones((), dt), b)
+
+        gamma_np = jnp.where(sweep1, _safe(w_ip1, w_i),
+                             _safe(ups_sub, ups_ii))
+        li_np = li + gamma_np * jnp.where(below, lip1, 0) \
+            + gamma_np * jnp.where(rows == i + 1, jnp.ones((), dt), 0)
+        uip1_np = uip1 - gamma_np * jnp.where(right, ui, 0)
+        usub_np = jnp.where(sweep1, -gamma_np * ups_ii, jnp.zeros((), dt))
+        wi_np = w_i
+
+        # ---------------- pivot branch ----------------
+        gamma_p = jnp.where(sweep1, _safe(w_i, w_ip1),
+                            _safe(ups_ii, ups_sub))
+        lam_ii = 1.0 + gamma_p * lam_sub
+        # L columns (rows >= i+2): swap + combine
+        li_sw = jnp.where(below, lip1 + gamma_p * li, 0)
+        lip1_sw = jnp.where(below, li, 0)
+        # L rows strictly left of column i: swap rows i, i+1
+        # U rows (cols >= i+1): swap + combine
+        ui_new = jnp.where(right, uip1, 0)
+        uip1_new = jnp.where(right, ui - gamma_p * uip1, 0)
+        eta = _safe(lam_sub, lam_ii)
+        delta_i = lam_ii
+        delta_ip1 = 1.0 - eta * gamma_p
+        lip1_f = _safe(lip1_sw - eta * li_sw, delta_ip1)
+        li_f = _safe(li_sw, delta_i)
+        # unit diagonal + subdiagonal entry gamma/delta_i
+        li_f = jnp.where(rows == i, jnp.ones((), dt), li_f)
+        li_f = jnp.where(rows == i + 1, _safe(gamma_p, delta_i), li_f)
+        lip1_f = jnp.where(rows == i + 1, jnp.ones((), dt), lip1_f)
+        ui_f = (ui_new + eta * uip1_new) * delta_i
+        uip1_f = uip1_new * delta_ip1
+        diag_val = jnp.where(sweep1, eta * ups_ii * delta_i,
+                             ups_sub * delta_i)
+        ui_f = jnp.where(cols == i, diag_val, ui_f)
+        usub_p = jnp.where(sweep1, ups_ii * delta_ip1, jnp.zeros((), dt))
+        wi_p = w_ip1 * delta_i
+
+        # ---------------- select ----------------
+        li_out = jnp.where(pivot, li_f, li_np)
+        lip1_out = jnp.where(pivot, lip1_f, lip1)
+        ui_out = jnp.where(pivot, ui_f, ui)
+        uip1_out = jnp.where(pivot, uip1_f, uip1_np)
+
+        Lo = setcol(setcol(L, i, li_out), i + 1, lip1_out)
+        # swap the strictly-left L rows when pivoting
+        lrow_i = getrow(Lo, i)
+        lrow_ip1 = getrow(Lo, i + 1)
+        left = cols[:Mp] < i
+        lrow_i_new = jnp.where(pivot & left, lrow_ip1, lrow_i)
+        lrow_ip1_new = jnp.where(pivot & left, lrow_i, lrow_ip1)
+        Lo = setrow(setrow(Lo, i, lrow_i_new), i + 1, lrow_ip1_new)
+        Uo = setrow(setrow(U, i, ui_out), i + 1, uip1_out)
+        return Lo, Uo, jnp.where(pivot, wi_p, wi_np), \
+            jnp.where(pivot, usub_p, usub_np)
+
+    # ---- sweep 1: reduce w to a multiple of e0 (i = minDim-2 .. 0) ----
+    def sweep1_body(t, carry):
+        L, U, w, usub, perm = carry
+        i = minDim - 2 - t
+        lam_sub = getcol(L, i)[i + 1]
+        ups_ii = getrow(U, i)[i]
+        w_i = w[i]
+        w_ip1 = w[i + 1]
+        pivot = jnp.abs(w_i) < tau * jnp.abs(lam_sub * w_i + w_ip1)
+        L2, U2, wi_new, usub_i = _pair_step(
+            L, U, w_i, w_ip1, lam_sub, ups_ii, jnp.zeros((), dt), i, pivot,
+            jnp.asarray(True))
+        w = w.at[i].set(wi_new).at[i + 1].set(jnp.zeros((), dt))
+        usub = usub.at[i].set(usub_i)
+        pi = perm[i]
+        perm = jnp.where(pivot,
+                         perm.at[i].set(perm[i + 1]).at[i + 1].set(pi), perm)
+        return L2, U2, w, usub, perm
+
+    L, U, w, usub, perm = jax.lax.fori_loop(
+        0, max(minDim - 1, 0), sweep1_body, (L, U, w, usub0, perm))
+
+    # ---- add w[0] v^H into row 0 of U ----
+    U = U.at[0, :].add(w[0] * vvec)
+
+    # ---- sweep 2: Hessenberg -> triangular (i = 0 .. minDim-2) ----
+    def sweep2_body(i, carry):
+        L, U, usub, perm = carry
+        lam_sub = getcol(L, i)[i + 1]
+        ups_ii = getrow(U, i)[i]
+        ups_sub = usub[i]
+        pivot = jnp.abs(ups_ii) < tau * jnp.abs(lam_sub * ups_ii + ups_sub)
+        L2, U2, _, _ = _pair_step(
+            L, U, jnp.zeros((), dt), jnp.zeros((), dt), lam_sub, ups_ii,
+            ups_sub, i, pivot, jnp.asarray(False))
+        pi = perm[i]
+        perm = jnp.where(pivot,
+                         perm.at[i].set(perm[i + 1]).at[i + 1].set(pi), perm)
+        return L2, U2, usub, perm
+
+    L, U, usub, perm = jax.lax.fori_loop(
+        0, max(minDim - 1, 0), sweep2_body, (L, U, usub, perm))
+
+    # repack: unit-L strictly below the diagonal + U
+    packed = jnp.where(i2 > j2, L, jnp.zeros((), dt))
+    packed = jnp.pad(packed, ((0, 0), (0, Np - Mp))) + U
+    out = Fm.with_data(Fm.mask_padding(packed))
+    return out, Permutation(perm, F.m)

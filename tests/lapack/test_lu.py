@@ -87,3 +87,41 @@ def test_permutation_roundtrip(grid, rng):
     C = P.apply_rows(B, inverse=True)
     np.testing.assert_allclose(C.global_array(), a)
     np.testing.assert_allclose(B.global_array(), a[p[:n], :])
+
+
+@pytest.mark.parametrize("tau", [0.0, 0.5])
+def test_lu_mod(grid, rng, tau):
+    """Rank-one LU update (reference: LU/Mod.hpp): P'(A + u v^H) = L' U'."""
+    from elementalx.lapack.lu import LUMod
+
+    n = 24
+    a = rng.standard_normal((n, n))
+    u = rng.standard_normal(n)
+    v = rng.standard_normal(n)
+    A = DistMatrix.from_global(a, grid=grid)
+    F, P = LU(A, blocksize=8)
+    F2, P2 = LUMod(F, P, u, v, conjugate=True, tau=tau)
+    f = F2.global_array()
+    ell = np.tril(f, -1) + np.eye(n)
+    uu = np.triu(f)
+    target = a + np.outer(u, v)
+    pa = target[np.asarray(P2.perm)[:n], :]
+    rel = np.linalg.norm(pa - ell @ uu) / np.linalg.norm(target)
+    assert rel < 1e-11, f"LUMod residual {rel}"
+
+
+def test_lu_mod_solve(grid, rng):
+    from elementalx.lapack.lu import LUMod, SolveAfter
+
+    n = 16
+    a = rng.standard_normal((n, n)) + n * np.eye(n)
+    u = rng.standard_normal(n)
+    v = rng.standard_normal(n)
+    b = rng.standard_normal((n, 2))
+    A = DistMatrix.from_global(a, grid=grid)
+    F, P = LU(A)
+    F2, P2 = LUMod(F, P, u, v, tau=0.5)
+    X = SolveAfter(NORMAL, F2, P2,
+                   DistMatrix.from_global(b, grid=grid)).global_array()
+    target = a + np.outer(u, v)
+    assert np.linalg.norm(target @ X - b) / np.linalg.norm(b) < 1e-10
