@@ -54,37 +54,43 @@ def _lu_panel(a: jax.Array, perm: jax.Array, k0: int, nb: int, m: int
     """Unblocked pivoted factorization of columns [k0, k0+nb) over all rows
     >= the diagonal (reference: LU/Panel.hpp:68-158). Whole rows are
     swapped (right-looking w.r.t. the full matrix, like the reference's
-    driver which swaps across the entire width)."""
+    driver which swaps across the entire width).
+
+    The elimination itself runs on an extracted (M, nb) panel so each
+    column step touches O(M*nb) memory, not the full matrix width — the
+    panel is written back once (the HBM-bandwidth shape of the loop)."""
     M = a.shape[0]
     rows = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
+    panel = jax.lax.dynamic_slice(a, (0, k0), (M, nb))
 
     def col_step(j, carry):
-        a, perm = carry
+        a, panel, perm = carry
         jc = k0 + j
-        col = jax.lax.dynamic_index_in_dim(a, jc, axis=1, keepdims=False)
+        col = jax.lax.dynamic_index_in_dim(panel, j, axis=1, keepdims=False)
         # pivot among rows [jc, m); padding rows excluded except jc itself
         allowed = (rows >= jc) & ((rows < m) | (rows == jc))
         mag = jnp.where(allowed, jnp.abs(col), -jnp.ones((), jnp.abs(col).dtype))
         p = jnp.argmax(mag).astype(jnp.int32)
-        a = _swap_rows(a, jc, p)
+        a = _swap_rows(a, jc, p)          # full-width row swap (cheap)
+        panel = _swap_rows(panel, jc, p)
         pi = perm[jc]
         perm = perm.at[jc].set(perm[p]).at[p].set(pi)
-        # multipliers + rank-1 update restricted to the panel
-        col = jax.lax.dynamic_index_in_dim(a, jc, axis=1, keepdims=False)
+        col = jax.lax.dynamic_index_in_dim(panel, j, axis=1, keepdims=False)
         diag = jax.lax.dynamic_index_in_dim(col, jc, axis=0, keepdims=False)
         safe = jnp.where(diag == 0, jnp.ones((), diag.dtype), diag)
         below = rows > jc
         l = jnp.where(below, col / safe, jnp.zeros_like(col))
-        a = jax.lax.dynamic_update_index_in_dim(
-            a, jnp.where(below, l, col)[:, None], jc, axis=1)
-        # update remaining panel columns (jc+1 .. k0+nb)
-        urow = jax.lax.dynamic_index_in_dim(a, jc, axis=0, keepdims=False)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (a.shape[1],), 0)
-        in_panel = (cols > jc) & (cols < k0 + nb)
-        upd = jnp.outer(l, jnp.where(in_panel, urow, jnp.zeros_like(urow)))
-        return a - upd, perm
+        panel = jax.lax.dynamic_update_index_in_dim(
+            panel, jnp.where(below, l, col)[:, None], j, axis=1)
+        # rank-1 update of the remaining panel columns only
+        urow = jax.lax.dynamic_index_in_dim(panel, jc, axis=0, keepdims=False)
+        pcols = jax.lax.broadcasted_iota(jnp.int32, (nb,), 0)
+        upd = jnp.outer(l, jnp.where(pcols > j, urow, jnp.zeros_like(urow)))
+        return a, panel - upd, perm
 
-    return jax.lax.fori_loop(0, nb, col_step, (a, perm))
+    a, panel, perm = jax.lax.fori_loop(0, nb, col_step, (a, panel, perm))
+    a = jax.lax.dynamic_update_slice(a, panel, (0, k0))
+    return a, perm
 
 
 @functools.partial(jax.jit, static_argnames=('blocksize',))

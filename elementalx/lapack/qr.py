@@ -49,29 +49,34 @@ class QRFactorization(NamedTuple):
 def _panel_qr(a: jax.Array, tau: jax.Array, k0: int, nb: int, m: int
               ) -> Tuple[jax.Array, jax.Array]:
     """Unblocked Householder factorization of columns [k0, k0+nb)
-    (reference: QR/PanelHouseholder.hpp)."""
+    (reference: QR/PanelHouseholder.hpp). Runs on an extracted (M, nb)
+    panel so each reflector application touches O(M*nb) memory, written
+    back once."""
     M, N = a.shape
-    cols = jax.lax.broadcasted_iota(jnp.int32, (N,), 0)
+    panel = jax.lax.dynamic_slice(a, (0, k0), (M, nb))
+    pcols = jax.lax.broadcasted_iota(jnp.int32, (nb,), 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
 
     def col_step(j, carry):
-        a, tau = carry
+        panel, tau = carry
         jc = k0 + j
-        x = jax.lax.dynamic_index_in_dim(a, jc, axis=1, keepdims=False)
+        x = jax.lax.dynamic_index_in_dim(panel, j, axis=1, keepdims=False)
         v, tj, beta = householder(x, jc, m)
         tau = tau.at[jc].set(tj)
-        # apply H to remaining panel columns (jc .. k0+nb)
-        in_rest = (cols > jc) & (cols < k0 + nb)
-        Am = jnp.where(in_rest[None, :], a, jnp.zeros_like(a))
-        w = local_gemm(jnp.conj(v)[None, :], Am)  # (1, N)
-        a = a - tj * jnp.outer(v, w[0])
+        # apply H to remaining panel columns (j+1 .. nb)
+        Pm = jnp.where((pcols > j)[None, :], panel, jnp.zeros_like(panel))
+        w = local_gemm(jnp.conj(v)[None, :], Pm)  # (1, nb)
+        panel = panel - tj * jnp.outer(v, w[0])
         # store: beta at diagonal, v below, R part above untouched
-        rows = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
         newcol = jnp.where(rows > jc, v, x)
         newcol = newcol.at[jc].set(beta)
-        a = jax.lax.dynamic_update_index_in_dim(a, newcol[:, None], jc, axis=1)
-        return a, tau
+        panel = jax.lax.dynamic_update_index_in_dim(
+            panel, newcol[:, None], j, axis=1)
+        return panel, tau
 
-    return jax.lax.fori_loop(0, nb, col_step, (a, tau))
+    panel, tau = jax.lax.fori_loop(0, nb, col_step, (panel, tau))
+    a = jax.lax.dynamic_update_slice(a, panel, (0, k0))
+    return a, tau
 
 
 def _qr_packed(a: jax.Array, m: int, n: int, nb: int
