@@ -22,3 +22,4 @@ from .elementwise import (  # noqa: F401
 )
 from .trrk import masked_rank_k  # noqa: F401
 from .ozaki import matmul_f64_emulated  # noqa: F401
+from .ring_summa import ring_summa  # noqa: F401
