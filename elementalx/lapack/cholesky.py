@@ -90,10 +90,8 @@ def _strip_pad_diag(L: jax.Array, m: int) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=('uplo', 'blocksize'))
-def Cholesky(uplo: UpperOrLower, A: DistMatrix,
-             blocksize: Optional[int] = None) -> DistMatrix:
-    """Return the Cholesky factor in the uplo triangle
-    (reference: Cholesky.cpp:96; LOWER: A = L L^H, UPPER: A = U^H U)."""
+def _cholesky_jit(uplo: UpperOrLower, A: DistMatrix,
+                  blocksize: Optional[int] = None) -> DistMatrix:
     if A.m != A.n:
         raise ValueError("Cholesky requires a square matrix")
     nb = blocksize or Blocksize()
@@ -107,6 +105,21 @@ def Cholesky(uplo: UpperOrLower, A: DistMatrix,
     from ..blas.level1 import Adjoint
 
     return Adjoint(Ldm)
+
+
+def Cholesky(uplo: UpperOrLower, A: DistMatrix,
+             blocksize: Optional[int] = None) -> DistMatrix:
+    """Return the Cholesky factor in the uplo triangle
+    (reference: Cholesky.cpp:96; LOWER: A = L L^H, UPPER: A = U^H U).
+
+    Raises NonHPDMatrixException when the matrix is numerically non-HPD
+    (reference: factor/Cholesky/UpperVariant3.hpp:28-30) — detectable
+    eagerly only; inside an enclosing jit the NaNs propagate instead."""
+    out = _cholesky_jit(uplo, A, blocksize)
+    if not isinstance(out.data, jax.core.Tracer):
+        if bool(jnp.any(jnp.isnan(jnp.real(out.data)))):
+            raise NonHPDMatrixException()
+    return out
 
 
 def CholeskyPivoted(uplo: UpperOrLower, A: DistMatrix

@@ -44,9 +44,13 @@ def test_hilbert_ill_conditioned(grid):
     h, q, ws = H.global_array(), Q.global_array(), np.asarray(w)
     assert np.linalg.norm(h @ q - q * ws[None, :]) < 1e-13
     assert np.linalg.norm(np.eye(20) - q.T @ q) < 1e-9
-    # Cholesky of Hilbert must not produce NaNs even at this conditioning
-    L = El.Cholesky(LOWER, H).global_array()
-    assert np.isfinite(L).all()
+    # numerically non-HPD at this conditioning: the factorization must
+    # raise like the reference (NonHPDMatrixException,
+    # factor/Cholesky/UpperVariant3.hpp:28-30), not return NaNs silently
+    import pytest
+
+    with pytest.raises(El.NonHPDMatrixException):
+        El.Cholesky(LOWER, H)
 
 
 def test_kahan_rank_reveal(grid):
