@@ -148,10 +148,13 @@ def tridiag_eig(d: jax.Array, e: jax.Array, invit_steps: int = 3,
     eps = jnp.finfo(d.dtype).eps
     tnorm = jnp.maximum(jnp.max(jnp.abs(d)), jnp.max(jnp.abs(e)) if
                         e.shape[0] else 0.0)
-    # perturb shifts within clusters so iteration targets split
+    # split exact-duplicate targets with a BOUNDED local jitter (a few
+    # ulp of ||T||; an unbounded idx-proportional offset would swamp the
+    # eigenvalue accuracy in low precision)
     gap_tol = eps * jnp.maximum(tnorm, 1.0)
     idx = jnp.arange(n)
-    shifts = w + (idx - n / 2) * gap_tol * 2.0
+    jitter = ((idx % 8).astype(w.dtype) - 3.5) * gap_tol
+    shifts = w + jitter
 
     key = jax.random.key(7)
     b0 = jax.random.normal(key, (n, n), d.dtype)  # row i: rhs for eig i
@@ -165,6 +168,22 @@ def tridiag_eig(d: jax.Array, e: jax.Array, invit_steps: int = 3,
         return jax.lax.fori_loop(0, invit_steps, it, b)
 
     Z = jax.vmap(one_vec)(shifts, b0)  # (n, n): row i = eigvec i
+
+    def rayleigh(Z):
+        # Rayleigh quotients of the row-vectors of Z
+        Td = (d[None, :] * Z
+              + jnp.concatenate([jnp.zeros((n, 1), Z.dtype),
+                                 e[None, :] * Z[:, :-1]], axis=1)
+              + jnp.concatenate([e[None, :] * Z[:, 1:],
+                                 jnp.zeros((n, 1), Z.dtype)], axis=1))
+        return jnp.sum(Z * Td, axis=1)
+
+    # second round from Rayleigh-refined shifts: in low precision the
+    # bisection values carry O(eps*||T||) error that inverse iteration
+    # would otherwise leak into neighbouring eigenvectors
+    w_r = rayleigh(Z)
+    shifts2 = w_r + jitter
+    Z = jax.vmap(one_vec)(shifts2, Z)
     Z = Z.T  # columns are eigenvectors
 
     # windowed modified Gram-Schmidt passes to orthogonalise clusters:
