@@ -14,6 +14,8 @@ REF_DATA = "/root/reference/data/optimization"
 NETLIB_OPT = {
     "afiro.mps": -464.75314286,
     "adlittle.mps": 225494.96316,
+    "share2b.mps": -415.73224074,
+    "share1b.mps": -76589.318579,
 }
 
 
@@ -75,10 +77,11 @@ def test_qp_kkt(rng):
 
 @pytest.mark.skipif(not os.path.isdir(REF_DATA),
                     reason="reference data not mounted")
-@pytest.mark.parametrize("inst", ["afiro.mps", "adlittle.mps"])
+@pytest.mark.parametrize("inst", ["afiro.mps", "adlittle.mps",
+                                  "share2b.mps", "share1b.mps"])
 def test_netlib_mps(inst):
     prob = read_mps(os.path.join(REF_DATA, inst))
-    sol = LP(prob.A, prob.b, prob.c, max_its=200)
+    sol = LP(prob.A, prob.b, prob.c, max_its=300)
     obj = sol.primal_obj + prob.objective_shift
     ref = NETLIB_OPT[inst]
     assert sol.converged, f"{inst} did not converge"
