@@ -92,3 +92,5 @@ from .hermitian_eig import HermitianEigSDC, HermitianEigSubset  # noqa: F401
 from .cholesky import CholeskyPivoted  # noqa: F401
 from . import image_kernel  # noqa: F401
 from .image_kernel import Image, ImageAndKernel, Kernel  # noqa: F401
+from . import tridiag_dc  # noqa: F401
+from .tridiag_dc import HermitianTridiagEigDC, tridiag_eig_dc  # noqa: F401

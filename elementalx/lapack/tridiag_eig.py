@@ -222,6 +222,13 @@ def HermitianTridiagEig(d: jax.Array, e: jax.Array, vectors: bool = True,
     """El-style driver (reference: HermitianTridiagEig.cpp). backend
     'native' uses the C++ host solver (native/elx_tridiag.cpp, the pmrrr
     replacement) — eager-only; 'jax' is the batched on-device solver."""
+    if backend == "dc":
+        from .tridiag_dc import HermitianTridiagEigDC
+
+        import numpy as _np
+
+        w, Z = HermitianTridiagEigDC(_np.asarray(d), _np.asarray(e))
+        return (w, Z) if vectors else w
     if backend == "native":
         import numpy as _np
 

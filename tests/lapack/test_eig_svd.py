@@ -184,3 +184,26 @@ def test_gqr_grq(grid, rng):
                           - A2.global_array()) < 1e-11
     assert np.linalg.norm(Z2.global_array() @ T2.global_array()
                           @ Q2.global_array() - B2.global_array()) < 1e-11
+
+
+def test_tridiag_dc(rng):
+    """Cuppen D&C with pole-relative secular roots and Gu-Eisenstat
+    reconstruction (the reference's DCCtrl/SecularEVD path)."""
+    import jax.numpy as jnp
+
+    from elementalx.lapack.tridiag_dc import tridiag_eig_dc
+
+    for n, kind in ((150, "random"), (120, "clustered")):
+        d = rng.standard_normal(n)
+        e = rng.standard_normal(n - 1)
+        if kind == "clustered":
+            d = np.repeat(rng.standard_normal(n // 4), 4)[:n]
+            e = np.full(n - 1, 1e-7)
+            e[::5] = rng.standard_normal(len(e[::5]))
+        T = np.diag(d) + np.diag(e, 1) + np.diag(e, -1)
+        w, Z = tridiag_eig_dc(d, e)
+        wref = np.linalg.eigvalsh(T)
+        assert np.max(np.abs(np.sort(w) - wref)) < 1e-12
+        assert np.linalg.norm(np.eye(n) - Z.T @ Z) < 1e-12
+        nrm = np.linalg.norm(T)
+        assert np.linalg.norm(T @ Z - Z * w[None, :]) / nrm < 1e-7
