@@ -31,6 +31,34 @@ class SpectralPortrait(NamedTuple):
     imag_grid: jax.Array
 
 
+def _tri_solve_upper(T: jax.Array, b: jax.Array) -> jax.Array:
+    """Back substitution for upper-triangular T (hand-rolled fori_loop —
+    XLA:TPU lacks complex TriangularSolve)."""
+    n = T.shape[0]
+
+    def body(i, x):
+        k = n - 1 - i
+        row = T[k, :]
+        s = jnp.sum(row * x) - row[k] * x[k]
+        val = (b[k] - s) / T[k, k]
+        return x.at[k].set(val)
+
+    return jax.lax.fori_loop(0, n, body, jnp.zeros_like(b))
+
+
+def _tri_solve_upper_adj(T: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve T^H x = b (forward substitution on the conjugate)."""
+    n = T.shape[0]
+
+    def body(k, x):
+        col = jnp.conj(T[:, k])
+        s = jnp.sum(col * x) - col[k] * x[k]
+        val = (b[k] - s) / jnp.conj(T[k, k])
+        return x.at[k].set(val)
+
+    return jax.lax.fori_loop(0, n, body, jnp.zeros_like(b))
+
+
 def _sigma_min_shifted(T: jax.Array, z: jax.Array, iters: int,
                        key) -> jax.Array:
     """sigma_min(T - zI) for upper triangular T via inverse power
@@ -55,21 +83,15 @@ def _sigma_min_shifted(T: jax.Array, z: jax.Array, iters: int,
     x0 = x0 / jnp.sqrt(jnp.sum(jnp.abs(x0) ** 2))
 
     def body(_, x):
-        y = jax.lax.linalg.triangular_solve(
-            Ts, x[:, None], left_side=True, lower=False,
-            transpose_a=True, conjugate_a=True)[:, 0]
-        w = jax.lax.linalg.triangular_solve(
-            Ts, y[:, None], left_side=True, lower=False)[:, 0]
+        y = _tri_solve_upper_adj(Ts, x)
+        w = _tri_solve_upper(Ts, y)
         nw = jnp.sqrt(jnp.sum(jnp.abs(w) ** 2))
         return w / jnp.where(nw == 0, 1, nw)
 
     x = jax.lax.fori_loop(0, iters, body, x0)
     # Rayleigh estimate: sigma_min = 1 / ||(T-z)^{-1} ((T-z)^{-H} x)||^(1/2)
-    y = jax.lax.linalg.triangular_solve(
-        Ts, x[:, None], left_side=True, lower=False,
-        transpose_a=True, conjugate_a=True)[:, 0]
-    w = jax.lax.linalg.triangular_solve(
-        Ts, y[:, None], left_side=True, lower=False)[:, 0]
+    y = _tri_solve_upper_adj(Ts, x)
+    w = _tri_solve_upper(Ts, y)
     lam = jnp.sqrt(jnp.sum(jnp.abs(w) ** 2))  # approx largest eig of inv pair
     return 1.0 / jnp.sqrt(lam)
 

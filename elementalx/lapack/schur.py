@@ -246,14 +246,17 @@ def Schur(A: DistMatrix, want_vecs: bool = True, alg: str = "qr"
         else jnp.complex64
     from ..core.dmatrix import pad_array
 
-    Tdm = DistMatrix.from_global(jnp.asarray(T, dt), MC, MR, A.grid)
-    w = jnp.asarray(np.diag(T), dt)
+    # cast on the HOST: TPU backends without c128 support cannot ingest
+    # complex128 buffers even transiently
+    np_dt = np.complex128 if dt == jnp.complex128 else np.complex64
+    Tdm = DistMatrix.from_global(jnp.asarray(T.astype(np_dt)), MC, MR, A.grid)
+    w = jnp.asarray(np.diag(T).astype(np_dt))
     if not want_vecs:
         return SchurDecomposition(Tdm, None, w)
     # backtransform: Z = Q_hess * Z_qr
     M = fact.packed.data.shape[0]
     Zfull = jnp.zeros((M, M), dt)
-    Zfull = Zfull.at[:n, :n].set(jnp.asarray(Zh, dt))
+    Zfull = Zfull.at[:n, :n].set(jnp.asarray(Zh.astype(np_dt)))
     packed_c = fact.packed.with_data(fact.packed.data.astype(dt))
     from .condense import HessenbergFactorization
 
