@@ -14,12 +14,11 @@ import jax
 # the experimental axon TPU tunnel cannot transfer complex buffers
 # (device<->host); pseudospectra is complex-valued end to end, so fall
 # back to the CPU backend under that tunnel (XLA:TPU proper supports
-# complex64 — this is a transport limitation, see CLAUDE.md)
-try:
-    if jax.devices()[0].platform.lower() == "axon":
-        jax.config.update("jax_platforms", "cpu")
-except Exception:
-    pass
+# complex64 — this is a transport limitation, see CLAUDE.md). Decide
+# BEFORE the backend initialises.
+if os.environ.get("JAX_PLATFORMS", "").lower() == "axon" \
+        or os.environ.get("PALLAS_AXON_TPU_GEN"):
+    jax.config.update("jax_platforms", "cpu")
 
 import elementalx as El
 from elementalx import matrices as M
