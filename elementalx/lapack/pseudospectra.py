@@ -96,16 +96,67 @@ def _sigma_min_shifted(T: jax.Array, z: jax.Array, iters: int,
     return 1.0 / jnp.sqrt(lam)
 
 
+def _sigma_min_lanczos(T: jax.Array, z: jax.Array, steps: int,
+                       key) -> jax.Array:
+    """sigma_min(T - zI) via inverse Lanczos (reference:
+    Pseudospectra/Lanczos.hpp): run k steps of Lanczos on the SPD
+    operator (T-z)^{-1}(T-z)^{-H}, whose extreme Ritz value converges
+    much faster than power iteration, then sigma_min = 1/sqrt(ritz_max).
+    """
+    n = T.shape[0]
+    Ts = T - z * jnp.eye(n, dtype=T.dtype)
+    dnorm = jnp.maximum(jnp.max(jnp.abs(T)), 1.0)
+    floor = jnp.finfo(jnp.abs(Ts).dtype).eps * dnorm * 1e-2
+    diag = jnp.diagonal(Ts)
+    mag = jnp.abs(diag)
+    safe = jnp.where(mag < floor, floor.astype(Ts.dtype)
+                     * jnp.where(mag == 0, 1.0, diag / jnp.where(
+                         mag == 0, 1.0, mag)), diag)
+    i2 = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j2 = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    Ts = jnp.where(i2 == j2, safe[jnp.minimum(i2, n - 1)], Ts)
+
+    def op(v):
+        y = _tri_solve_upper_adj(Ts, v)
+        return _tri_solve_upper(Ts, y)
+
+    v0 = jax.random.normal(key, (n,), jnp.float32).astype(T.dtype)
+    v0 = v0 / jnp.sqrt(jnp.sum(jnp.abs(v0) ** 2))
+    rdt = jnp.abs(z).dtype
+
+    def step(carry, _):
+        v_prev, v, beta_prev = carry
+        w = op(v)
+        alpha = jnp.real(jnp.vdot(v, w))
+        w = w - alpha * v - beta_prev * v_prev
+        # full reorthogonalisation is overkill for a few steps; one pass
+        beta = jnp.sqrt(jnp.sum(jnp.abs(w) ** 2))
+        v_next = w / jnp.where(beta == 0, 1, beta)
+        return (v, v_next, beta.astype(rdt)), (alpha.astype(rdt),
+                                               beta.astype(rdt))
+
+    (_, _, _), (alphas, betas) = jax.lax.scan(
+        step, (jnp.zeros_like(v0), v0, jnp.zeros((), rdt)), None,
+        length=steps)
+    from .tridiag_eig import tridiag_eigvalsh
+
+    ritz = tridiag_eigvalsh(alphas, betas[:-1])
+    lam_max = jnp.maximum(ritz[-1], jnp.finfo(rdt).tiny)
+    return 1.0 / jnp.sqrt(lam_max)
+
+
 def Pseudospectra(A: DistMatrix,
                   real_bounds: Tuple[float, float],
                   imag_bounds: Tuple[float, float],
                   real_size: int = 32,
                   imag_size: int = 32,
                   iters: int = 20,
-                  schur_alg: str = "qr") -> SpectralPortrait:
+                  schur_alg: str = "qr",
+                  alg: str = "power") -> SpectralPortrait:
     """Resolvent-norm portrait over a shift grid
     (reference: TriangularPseudospectra / general drivers,
-    Pseudospectra.cpp)."""
+    Pseudospectra.cpp; alg='power' or 'lanczos' mirroring the
+    Pseudospectra/{Power,Lanczos}.hpp kernels)."""
     dec = Schur(A, want_vecs=False, alg=schur_alg)
     n = A.m
     T = dec.T.replicated()[:n, :n]
@@ -113,7 +164,8 @@ def Pseudospectra(A: DistMatrix,
     im = jnp.linspace(imag_bounds[0], imag_bounds[1], imag_size)
     zs = (re[None, :] + 1j * im[:, None]).astype(T.dtype).reshape(-1)
     keys = jax.random.split(jax.random.key(11), zs.shape[0])
-    smin = jax.vmap(lambda z, k: _sigma_min_shifted(T, z, iters, k))(zs, keys)
+    kernel = _sigma_min_lanczos if alg == "lanczos" else _sigma_min_shifted
+    smin = jax.vmap(lambda z, k: kernel(T, z, iters, k))(zs, keys)
     smin = smin.reshape(imag_size, real_size)
     return SpectralPortrait(1.0 / smin, smin, re, im)
 

@@ -117,3 +117,22 @@ def test_schur_swap_and_reorder(grid, rng):
     rec3 = Z3 @ T3 @ Z3.conj().T
     assert np.linalg.norm(rec3 - a) / np.linalg.norm(a) < 1e-10
     assert np.linalg.norm(np.eye(n) - Z3.conj().T @ Z3) < 1e-11
+
+
+def test_pseudospectra_lanczos(grid, rng):
+    """Inverse-Lanczos kernel (reference: Pseudospectra/Lanczos.hpp)."""
+    n = 12
+    a = np.diag(np.arange(1.0, n + 1))
+    port = Pseudospectra(DistMatrix.from_global(a, grid=grid),
+                         (0.0, 4.0), (-1.0, 1.0), real_size=9, imag_size=5,
+                         iters=12, alg="lanczos")
+    smin = np.asarray(port.sigma_min_map)
+    re = np.asarray(port.real_grid)
+    im = np.asarray(port.imag_grid)
+    i0 = np.argmin(np.abs(im - 0.0))
+    j0 = np.argmin(np.abs(re - 0.0))
+    # sigma_min(A - 0 I) = 1 exactly for this diagonal test matrix
+    assert abs(smin[i0, j0] - 1.0) < 1e-6
+    # near an eigenvalue the resolvent blows up
+    j1 = np.argmin(np.abs(re - 1.0))
+    assert smin[i0, j1] < 1e-6
