@@ -70,7 +70,13 @@ def _prep_triangle(T: jax.Array, m: int, lower: bool, unit: bool) -> jax.Array:
 
 
 def _left_solve(T: jax.Array, B: jax.Array, lower: bool, nb: int) -> jax.Array:
-    """Solve T X = B for triangular T (already prepped), blocked."""
+    """Solve T X = B for triangular T (already prepped), blocked.
+    bf16/f16 storage solves through f32 (no low-precision XLA
+    TriangularSolve; accumulation wants f32 regardless)."""
+    if T.dtype in (jnp.bfloat16, jnp.float16):
+        out = _left_solve(T.astype(jnp.float32), B.astype(jnp.float32),
+                          lower, nb)
+        return out.astype(B.dtype)
     M, N = T.shape[0], B.shape[1]
     nb = _pick_nb(M, nb)
     nblk = M // nb

@@ -96,7 +96,15 @@ def _cholesky_jit(uplo: UpperOrLower, A: DistMatrix,
         raise ValueError("Cholesky requires a square matrix")
     nb = blocksize or Blocksize()
     d = _prep_hpd(A, uplo)
+    # low-precision storage factors through f32 (XLA's Cholesky/
+    # TriangularSolve have no bf16/f16 kernels; accumulation wants f32
+    # anyway), result demoted back
+    low = d.dtype in (jnp.bfloat16, jnp.float16)
+    if low:
+        d = d.astype(jnp.float32)
     L = _chol_lower_rec(d, nb)
+    if low:
+        L = L.astype(A.dtype)
     L = _strip_pad_diag(L, A.m)
     Ldm = A.redistribute(MC, MR).with_data(L)
     Ldm = MakeTrapezoidal(LOWER, Ldm)
