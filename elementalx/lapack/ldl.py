@@ -11,7 +11,7 @@ for the IPM-style use the reference puts it to."""
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,8 +9,6 @@ gather along the sharded axis — XLA plans the all-to-all.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -8,7 +8,7 @@ form min c^T x, A x = b, x >= 0 by adding slacks and shifting bounds."""
 
 from __future__ import annotations
 
-from typing import Dict, List, NamedTuple, Tuple
+from typing import Dict, List, NamedTuple
 
 import numpy as np
 

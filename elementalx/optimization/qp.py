@@ -5,7 +5,7 @@ min (1/2) x^T Q x + c^T x  s.t.  A x = b, x >= 0
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import numpy as np
 
