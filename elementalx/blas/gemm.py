@@ -32,6 +32,8 @@ than the reference's 4-way NN/NT/TN/TT code split.
 
 from __future__ import annotations
 
+import functools
+
 from typing import Optional
 
 import jax
@@ -298,6 +300,7 @@ def _choose_algorithm(m: int, n: int, k: int, p: int) -> GemmAlgorithm:
     return GEMM_XLA
 
 
+@functools.partial(jax.jit, static_argnames=('orientA', 'orientB', 'alg', 'blocksize'))
 def Gemm(
     orientA: Orientation,
     orientB: Orientation,

@@ -17,6 +17,8 @@ All eight cases normalise to a LEFT, NORMAL solve by materialising the
 
 from __future__ import annotations
 
+import functools
+
 from typing import Optional
 
 import jax
@@ -103,6 +105,7 @@ def _left_solve(T: jax.Array, B: jax.Array, lower: bool, nb: int) -> jax.Array:
     return jax.lax.fori_loop(0, nblk, step, X0)
 
 
+@functools.partial(jax.jit, static_argnames=('side', 'uplo', 'orientation', 'diag', 'blocksize'))
 def Trsm(
     side: LeftOrRight,
     uplo: UpperOrLower,
