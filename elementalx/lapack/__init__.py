@@ -94,3 +94,5 @@ from . import image_kernel  # noqa: F401
 from .image_kernel import Image, ImageAndKernel, Kernel  # noqa: F401
 from . import tridiag_dc  # noqa: F401
 from .tridiag_dc import HermitianTridiagEigDC, tridiag_eig_dc  # noqa: F401
+from . import refine  # noqa: F401
+from .refine import RefinedHPDSolve, RefinedLinearSolve  # noqa: F401

@@ -100,3 +100,34 @@ def test_ring_summa_interpret(grid, rng):
     C = ring_summa(A, B, interpret=True)
     ref = a @ b
     assert np.linalg.norm(C.global_array() - ref) / np.linalg.norm(ref) < 1e-5
+
+
+def test_refined_solve_f64_grade(grid, rng):
+    """Mixed-precision iterative refinement: f32 factors + Ozaki
+    residuals deliver f64-grade solutions (SURVEY hard-part #1)."""
+    from elementalx import DistMatrix
+    from elementalx.lapack.refine import RefinedHPDSolve, RefinedLinearSolve
+    from elementalx.core.types import LOWER
+
+    n = 96
+    a32 = rng.standard_normal((n, n)).astype(np.float32)
+    b = rng.standard_normal(n)
+    A = DistMatrix.from_global(a32, grid=grid)
+    x, resid = RefinedLinearSolve(A, b)
+    # compare against the f64 solve of the f32-rounded matrix
+    ref = np.linalg.solve(a32.astype(np.float64), b)
+    assert np.linalg.norm(x - ref) / np.linalg.norm(ref) < 1e-12
+    assert resid < 10.0  # scaled f64 residual bound (reference style)
+    # plain f32 solve for contrast: orders of magnitude worse
+    from elementalx.lapack.lu import LinearSolve
+
+    x32 = LinearSolve(A, DistMatrix.from_global(
+        b[:, None].astype(np.float32), grid=grid)).global_array()[:, 0]
+    assert np.linalg.norm(x - ref) < 1e-4 * np.linalg.norm(x32 - ref)
+
+    spd32 = (a32 @ a32.T / n + n * np.eye(n)).astype(np.float32)
+    S = DistMatrix.from_global(spd32, grid=grid)
+    xh, residh = RefinedHPDSolve(LOWER, S, b)
+    refh = np.linalg.solve(spd32.astype(np.float64), b)
+    assert np.linalg.norm(xh - refh) / np.linalg.norm(refh) < 1e-12
+    assert residh < 10.0
