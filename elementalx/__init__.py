@@ -23,6 +23,19 @@ import jax as _jax
 if not _os.environ.get("ELEMENTALX_NO_PRECISION_OVERRIDE"):
     _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: factorization graphs are large and the
+# attached-TPU tunnel compiles slowly; cached programs make reruns fast.
+# Opt out with ELEMENTALX_NO_COMPILE_CACHE=1.
+if not _os.environ.get("ELEMENTALX_NO_COMPILE_CACHE"):
+    try:
+        _cache = _os.environ.get(
+            "ELEMENTALX_CACHE_DIR",
+            _os.path.expanduser("~/.cache/elementalx_xla"))
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 from .core import *  # noqa: F401,F403
 from .core import redistribute as copy  # noqa: F401  (the copy:: namespace)
 from . import blas  # noqa: F401

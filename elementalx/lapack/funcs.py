@@ -113,23 +113,31 @@ class SignCtrl:
 def Sign(A: DistMatrix, ctrl: Optional[SignCtrl] = None) -> DistMatrix:
     """Matrix sign via scaled Newton iteration
     X_{k+1} = (mu X + (mu X)^{-1}) / 2 with determinant scaling
-    (reference: funcs/Sign.cpp)."""
+    (reference: funcs/Sign.cpp). One pivoted LU per step supplies BOTH
+    the determinant scaling (from diag(U) + pivot parity) and the
+    inverse."""
     ctrl = ctrl or SignCtrl()
     from .lu import LU, SolveAfter
-    from .props import SafeDeterminant
 
     X = A.redistribute(MC, MR)
     n = A.m
     eps = jnp.finfo(jnp.real(X.data).dtype).eps
     tol = ctrl.tol or n * eps
-    # fixed-trip Newton loop (jit-friendly); determinant scaling each step
     its = min(ctrl.max_its, 30)
+    I = FillDiagonal(Zero(X), 1.0)
     for _ in range(its):
-        sp = SafeDeterminant(X)
-        mu = jnp.exp(-sp.kappa).real.astype(jnp.real(X.data).dtype)
-        Xs = X.with_data(X.data * mu.astype(X.dtype))
-        Xinv = Inverse(Xs)
-        newd = 0.5 * (Xs.data + Xinv.data)
+        F, P = LU(X)
+        # determinant magnitude from diag(U): mu = |det X|^{-1/n}
+        d = jnp.diagonal(F.data)
+        idx = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
+        mag = jnp.where(idx < n, jnp.abs(d), jnp.ones_like(jnp.abs(d)))
+        kappa = jnp.sum(jnp.log(mag)) / n
+        mu = jnp.exp(-kappa).astype(jnp.real(X.data).dtype)
+        # inv(X) from the same factors; Newton step on the scaled iterate:
+        # (mu X + (mu X)^{-1})/2 = (mu X + inv(X)/mu)/2
+        Xinv = SolveAfter(NORMAL, F, P, I)
+        newd = 0.5 * (mu.astype(X.dtype) * X.data
+                      + Xinv.data / mu.astype(X.dtype))
         diff = jnp.linalg.norm(newd - X.data)
         X = X.with_data(newd)
         # early exit only outside jit
