@@ -88,7 +88,11 @@ from . import secular  # noqa: F401
 from .secular import CubicSecular, SecularEVD, SecularSVD  # noqa: F401
 from . import gqr  # noqa: F401
 from .gqr import GQR, GRQ  # noqa: F401
-from .hermitian_eig import HermitianEigSDC, HermitianEigSubset  # noqa: F401
+from .hermitian_eig import (  # noqa: F401
+    HermitianEigSDC,
+    HermitianEigSubset,
+    HermitianEigValueSubset,
+)
 from .cholesky import CholeskyPivoted  # noqa: F401
 from . import image_kernel  # noqa: F401
 from .image_kernel import Image, ImageAndKernel, Kernel  # noqa: F401

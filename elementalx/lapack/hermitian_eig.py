@@ -186,18 +186,56 @@ def SkewHermitianEig(uplo: UpperOrLower, G: DistMatrix, vectors: bool = True,
 
 def HermitianGenDefEig(uplo: UpperOrLower, A: DistMatrix, B: DistMatrix,
                        vectors: bool = True,
-                       ctrl: Optional[HermitianEigCtrl] = None):
-    """Generalized A x = lambda B x with B HPD (pencil type AXBX)
-    (reference: spectral/HermitianGenDefEig.cpp): Cholesky of B, reduce to
-    standard form with TwoSidedTrsm, solve, backtransform."""
-    from ..blas.level3 import TwoSidedTrsm
+                       ctrl: Optional[HermitianEigCtrl] = None,
+                       pencil: str = "AXBX"):
+    """Generalized Hermitian-definite eigenproblems with B HPD
+    (reference: spectral/HermitianGenDefEig.cpp, Pencil enum):
+      AXBX:  A x = lambda B x   -> C = inv(L) A inv(L)^H,  x = L^{-H} z
+      ABX:   A B x = lambda x   -> C = L^H A L,            x = L^{-H} z
+      BAX:   B A x = lambda x   -> C = L^H A L,            x = L z
+    via Cholesky of B = L L^H + TwoSidedTrsm/Trmm."""
+    from ..blas.level3 import TwoSidedTrmm, TwoSidedTrsm
+    from ..blas.trsm import Trsm as _Trsm
+    from ..blas.level3 import Trmm
+    from ..core.types import RIGHT
+
     from .cholesky import Cholesky
 
     L = Cholesky(LOWER, B)
-    C = TwoSidedTrsm(LOWER, NON_UNIT, A.redistribute(MC, MR), L)
+    if pencil == "AXBX":
+        C = TwoSidedTrsm(LOWER, NON_UNIT, A.redistribute(MC, MR), L)
+    elif pencil in ("ABX", "BAX"):
+        C = TwoSidedTrmm(LOWER, NON_UNIT, A.redistribute(MC, MR), L)
+    else:
+        raise ValueError(pencil)
     if not vectors:
         return HermitianEig(LOWER, C, vectors=False, ctrl=ctrl)
     w, Z = HermitianEig(LOWER, C, vectors=True, ctrl=ctrl)
-    # x = L^{-H} z
-    X = Trsm(LEFT, LOWER, ADJOINT, NON_UNIT, 1.0, L, Z)
+    if pencil in ("AXBX", "ABX"):
+        X = Trsm(LEFT, LOWER, ADJOINT, NON_UNIT, 1.0, L, Z)
+    else:  # BAX
+        from ..core.types import UNIT as _U
+
+        X = Trmm(LEFT, LOWER, NORMAL, NON_UNIT, 1.0, L, Z)
     return w, X
+
+
+def HermitianEigValueSubset(uplo: UpperOrLower, A: DistMatrix,
+                            vl: float, vu: float,
+                            ctrl: Optional[HermitianEigCtrl] = None):
+    """Eigenpairs with eigenvalues in (vl, vu] (reference:
+    HermitianEig.cpp value-range dispatch). Eager-only (the count is
+    data-dependent): returns (w_subset, Q_subset)."""
+    import numpy as np
+
+    w, Q = HermitianEig(uplo, A, vectors=True, ctrl=ctrl)
+    wnp = np.asarray(w)
+    sel = np.where((wnp > vl) & (wnp <= vu))[0]
+    from ..blas.level1 import GetSubmatrix
+
+    if sel.size == 0:
+        return wnp[:0], None
+    lo, hi = int(sel[0]), int(sel[-1])
+    n = A.m
+    Qs = GetSubmatrix(Q, slice(0, n), slice(lo, hi + 1))
+    return w[lo:hi + 1], Qs

@@ -207,3 +207,42 @@ def test_tridiag_dc(rng):
         assert np.linalg.norm(np.eye(n) - Z.T @ Z) < 1e-12
         nrm = np.linalg.norm(T)
         assert np.linalg.norm(T @ Z - Z * w[None, :]) / nrm < 1e-7
+
+
+def test_gen_def_eig_pencils(grid, rng):
+    """ABX and BAX pencil types (reference: HermitianGenDefEig Pencil)."""
+    import scipy.linalg as sla
+
+    n = 12
+    a = rng.standard_normal((n, n))
+    a = a + a.T
+    b = rng.standard_normal((n, n))
+    b = b @ b.T + n * np.eye(n)
+    A = DistMatrix.from_global(a, grid=grid)
+    B = DistMatrix.from_global(b, grid=grid)
+    for pencil, stype in (("ABX", 2), ("BAX", 3)):
+        w, X = HermitianGenDefEig(LOWER, A, B, pencil=pencil)
+        w, x = np.asarray(w), X.global_array()
+        wref = sla.eigh(a, b, type=stype, eigvals_only=True)
+        assert np.max(np.abs(w - wref)) / max(np.max(np.abs(wref)), 1) < 1e-10
+        if pencil == "ABX":
+            res = np.linalg.norm(a @ (b @ x) - x * w[None, :])
+        else:
+            res = np.linalg.norm(b @ (a @ x) - x * w[None, :])
+        assert res / np.linalg.norm(a) < 1e-9
+
+
+def test_value_range_subset(grid, rng):
+    from elementalx.lapack.hermitian_eig import HermitianEigValueSubset
+
+    n = 16
+    a = rng.standard_normal((n, n))
+    a = a + a.T
+    wall = np.linalg.eigvalsh(a)
+    vl, vu = wall[4] - 1e-9, wall[9] + 1e-9
+    w, Q = HermitianEigValueSubset(LOWER, DistMatrix.from_global(a, grid=grid),
+                                   vl, vu)
+    assert np.asarray(w).shape[0] == 6
+    np.testing.assert_allclose(np.asarray(w), wall[4:10], atol=1e-11)
+    q = Q.global_array()
+    assert np.linalg.norm(a @ q - q * np.asarray(w)[None, :]) < 1e-10
