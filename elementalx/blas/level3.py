@@ -287,3 +287,23 @@ def HermitianFromEVD(uplo: UpperOrLower, Q: DistMatrix, w: jax.Array
 def NormalFromEVD(Q: DistMatrix, w: jax.Array) -> DistMatrix:
     """A := Q diag(w) Q^H with complex w (reference: NormalFromEVD.cpp)."""
     return HermitianFromEVD(LOWER, Q, w)
+
+
+def Trdtrmm(uplo: UpperOrLower, A: DistMatrix, conjugate: bool = False
+            ) -> DistMatrix:
+    """A := L inv(D) L^T (LOWER) or U inv(D) U^T from an LDL-packed
+    factor (unit triangle + D on the diagonal) — used to invert LDL
+    factorizations (reference: level3/Trdtrmm.cpp)."""
+    from ..blas.level1 import FillDiagonal, GetDiagonal, DiagonalSolve
+
+    Am = A.redistribute(MC, MR)
+    d = GetDiagonal(Am)
+    T = _tri_data(Am, uplo, UNIT)
+    orient = ADJOINT if conjugate else TRANSPOSE
+    # L inv(D) L^T: scale columns of L by 1/d, multiply by L^T
+    Ls = DiagonalSolve(RIGHT, NORMAL, d, T)
+    if uplo == LOWER:
+        prod = Gemm(NORMAL, orient, 1.0, Ls, T)
+    else:
+        prod = Gemm(orient, NORMAL, 1.0, T, Ls)
+    return _merge_triangle(uplo, prod, Am)

@@ -213,3 +213,38 @@ def TwoCondition(A: DistMatrix) -> jax.Array:
     s = SingularValues(A)
     k = min(A.m, A.n)
     return s[0] / s[k - 1]
+
+
+def OneConditionEstimate(A: DistMatrix, solve=None, its: int = 5):
+    """Hager-Higham 1-norm condition ESTIMATE without forming the inverse
+    (the lapack xGECON role; reference keeps HagerHigham machinery in
+    Pseudospectra/HagerHigham.hpp). Uses a handful of LU solves."""
+    import numpy as np
+
+    from ..core.types import NORMAL, TRANSPOSE
+    from .lu import LU, SolveAfter
+
+    n = A.m
+    F, P = LU(A)
+
+    def sv(r, trans):
+        R = DistMatrix.from_global(r.reshape(n, 1), MC, MR, A.grid)
+        out = SolveAfter(TRANSPOSE if trans else NORMAL, F, P, R)
+        return np.asarray(out.global_array())[:, 0]
+
+    x = np.full(n, 1.0 / n)
+    est = 0.0
+    for _ in range(its):
+        y = sv(x, False)
+        est_new = np.abs(y).sum()
+        xi = np.sign(y)
+        xi[xi == 0] = 1.0
+        z = sv(xi, True)
+        j = int(np.argmax(np.abs(z)))
+        if np.abs(z).max() <= z @ x or est_new <= est:
+            est = max(est, est_new)
+            break
+        est = est_new
+        x = np.zeros(n)
+        x[j] = 1.0
+    return float(OneNorm(A)) * est

@@ -96,3 +96,33 @@ def test_flame_partitioning(grid, rng):
     np.testing.assert_allclose(El.Merge1x2(L, R).global_array(), a)
     V = El.View(A, El.IR(2, 6), El.IR(1, 4))
     np.testing.assert_allclose(V.global_array(), a[2:6, 1:4])
+
+
+def test_one_condition_estimate(grid, rng):
+    from elementalx.lapack.props import OneCondition, OneConditionEstimate
+
+    n = 24
+    a = rng.standard_normal((n, n)) + 2 * np.eye(n)
+    A = DistMatrix.from_global(a, grid=grid)
+    exact = float(OneCondition(A))
+    est = OneConditionEstimate(A)
+    # Hager's estimator is a lower bound, almost always within a small
+    # factor of the true 1-norm condition number
+    assert est <= exact * 1.0001
+    assert est >= exact / 10.0
+
+
+def test_trdtrmm(grid, rng):
+    from elementalx.blas.level3 import Trdtrmm
+    from elementalx.lapack import LDL
+
+    n = 12
+    a = rng.standard_normal((n, n))
+    sym = a + a.T + 2 * n * np.eye(n)
+    F = LDL(DistMatrix.from_global(sym, grid=grid))
+    out = Trdtrmm(El.LOWER, F).global_array()
+    f = F.global_array()
+    ell = np.tril(f, -1) + np.eye(n)
+    d = np.diag(f)
+    ref = np.tril(ell @ np.diag(1.0 / d) @ ell.T) + np.triu(f, 1)
+    np.testing.assert_allclose(out, ref, atol=1e-11)
