@@ -188,16 +188,22 @@ def tridiag_eig(d: jax.Array, e: jax.Array, invit_steps: int = 3,
 
     # windowed modified Gram-Schmidt passes to orthogonalise clusters:
     # vectors whose eigenvalues are within the window are near-parallel
-    # risks; subtract projections onto the previous `ortho_window` columns.
+    # risks; subtract projections onto the previous `ortho_window`
+    # columns. Only the window is touched per step (O(n * w), not the
+    # O(n^2) full-width matvec that would dominate the whole eigensolve).
+    wwin = min(ortho_window, max(n - 1, 1))
+
     def mgs_pass(Z):
         def col(j, Z):
             zj = jax.lax.dynamic_index_in_dim(Z, j, axis=1, keepdims=False)
-            cols = jnp.arange(n)
-            prev = (cols < j) & (cols >= j - ortho_window)
-            close = jnp.abs(w - w[j]) < 1e3 * jnp.sqrt(eps) * jnp.maximum(tnorm, 1)
-            use = prev & close
-            proj = Z @ (jnp.where(use, Z.T @ zj, jnp.zeros((n,), Z.dtype)))
-            zj = zj - proj
+            start = jnp.clip(j - wwin, 0, max(n - wwin, 0))
+            W = jax.lax.dynamic_slice(Z, (0, start), (n, wwin))
+            cols = start + jnp.arange(wwin)
+            close = jnp.abs(w[cols] - w[j]) < 1e3 * jnp.sqrt(eps) * \
+                jnp.maximum(tnorm, 1)
+            use = (cols < j) & close
+            coeffs = jnp.where(use, W.T @ zj, jnp.zeros((wwin,), Z.dtype))
+            zj = zj - W @ coeffs
             nz = jnp.sqrt(jnp.sum(zj * zj))
             zj = zj / jnp.where(nz == 0, 1, nz)
             return jax.lax.dynamic_update_index_in_dim(
