@@ -83,7 +83,8 @@ from .id_skeleton import ID, Skeleton  # noqa: F401
 from . import schur  # noqa: F401
 from .schur import Eig, QuasiTriangEig, Schur, TriangEig  # noqa: F401
 from . import pseudospectra  # noqa: F401
-from .pseudospectra import Pseudospectra, TriangularPseudospectra  # noqa: F401
+from .pseudospectra import (Pseudospectra, TriangularPseudospectra,  # noqa: F401
+                            OneNormPseudospectra)
 from . import secular  # noqa: F401
 from .secular import CubicSecular, SecularEVD, SecularSVD  # noqa: F401
 from . import gqr  # noqa: F401

@@ -526,3 +526,43 @@ def HatanoNelson(n, g_field=0.5, grid=None, dtype=jnp.float64, key=None):
         return diag + up + dn + wrap_up + wrap_dn
 
     return _fill(n, n, f, grid, dtype)
+
+
+# -- lattice bases (src/matrices/random/lattice/) ----------------------------
+
+
+def AjtaiTypeBasis(n, alpha, grid=None, dtype=jnp.float64, key=None):
+    """Upper-triangular Ajtai-type lattice basis (reference:
+    src/matrices/random/lattice/AjtaiTypeBasis.cpp:18-37; Nguyen & Stehle,
+    "LLL on the Average" §3.4): diagonal d_j = round(2^((2n-j+1)^alpha)),
+    entries above the diagonal uniform integers in [0, d_j/2) (floored,
+    so the basis is integral as for the reference's integer types)."""
+    k = key if key is not None else next_key()
+    cols = jnp.arange(n, dtype=jnp.float64)
+    d = jnp.round(jnp.exp2((2.0 * n - cols + 1.0) ** alpha))
+    A = _empty(n, n, grid, dtype)
+    u = jax.random.uniform(k, A.data.shape, jnp.float64)
+
+    def f(i, j):
+        dj = d[jnp.clip(j, 0, n - 1)]
+        diag = jnp.where(i == j, dj, 0.0)
+        above = jnp.where(i < j, jnp.floor(u * (dj / 2.0)), 0.0)
+        return diag + above
+
+    return IndexDependentFill(A, f)
+
+
+def KnapsackTypeBasis(n, radius, grid=None, dtype=jnp.float64, key=None):
+    """(n+1) x n knapsack-type lattice basis (reference:
+    src/matrices/random/lattice/KnapsackTypeBasis.cpp:18-28): identity on
+    top of a rounded-uniform row of magnitude <= radius."""
+    k = key if key is not None else next_key()
+    b = jnp.round(jax.random.uniform(
+        k, (n,), jnp.float64, -radius, radius))
+
+    def f(i, j):
+        eye = (i == j).astype(jnp.float64)
+        bottom = jnp.where(i == n, b[jnp.clip(j, 0, n - 1)], 0.0)
+        return eye + bottom
+
+    return _fill(n + 1, n, f, grid, dtype)

@@ -22,7 +22,8 @@ if os.environ.get("JAX_PLATFORMS", "").lower() == "axon" \
 
 import elementalx as El
 from elementalx import matrices as M
-from elementalx.lapack.pseudospectra import Pseudospectra
+from elementalx.lapack.pseudospectra import (OneNormPseudospectra,
+                                             Pseudospectra)
 from elementalx.utils import Input, ProcessInput, Timer
 
 
@@ -30,6 +31,7 @@ def main():
     n = Input("--n", "matrix size", 64)
     res = Input("--res", "grid resolution", 40)
     which = Input("--matrix", "grcar|bullshead|foxli", "grcar")
+    alg = Input("--alg", "power|lanczos|ira|onenorm", "power")
     ProcessInput()
     grid = El.Grid()
     if which == "grcar":
@@ -42,9 +44,14 @@ def main():
         A = M.FoxLi(n, grid=grid)
         bounds = ((-1.5, 1.5), (-1.5, 1.5))
     with Timer("portrait") as t:
-        port = Pseudospectra(A, bounds[0], bounds[1], real_size=res,
-                             imag_size=res, iters=30)
-    print(f"portrait {res}x{res} in {t.total:.1f}s")
+        if alg == "onenorm":
+            port = OneNormPseudospectra(A, bounds[0], bounds[1],
+                                        real_size=res, imag_size=res,
+                                        iters=10)
+        else:
+            port = Pseudospectra(A, bounds[0], bounds[1], real_size=res,
+                                 imag_size=res, iters=30, alg=alg)
+    print(f"portrait {res}x{res} ({alg}) in {t.total:.1f}s")
     logmap = np.log10(np.asarray(port.sigma_min_map))
     try:
         import matplotlib

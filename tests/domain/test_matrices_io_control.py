@@ -178,3 +178,25 @@ def test_riccati(grid, rng):
     # CARE residual: A^H X + X A - X L X + Q = 0
     res = a.T @ X + X @ a - X @ ell @ X + q
     assert np.linalg.norm(res) / np.linalg.norm(q) < 1e-6
+
+
+def test_lattice_bases(grid):
+    """Lattice basis generators (reference:
+    src/matrices/random/lattice/{AjtaiTypeBasis,KnapsackTypeBasis}.cpp)."""
+    import jax
+
+    A = M.AjtaiTypeBasis(6, 0.5, grid, key=jax.random.key(3))
+    a = A.global_array()
+    d = np.round(np.exp2((2 * 6 - np.arange(6) + 1.0) ** 0.5))
+    assert np.allclose(np.tril(a, -1), 0)
+    assert np.allclose(np.diag(a), d)
+    up = np.triu(a, 1)
+    assert np.all(up >= 0) and np.all(up <= (d / 2)[None, :])
+    assert np.allclose(up, np.round(up))  # integer entries
+
+    B = M.KnapsackTypeBasis(5, 50.0, grid, key=jax.random.key(4))
+    b = B.global_array()
+    assert b.shape == (6, 5)
+    assert np.allclose(b[:5], np.eye(5))
+    assert np.all(np.abs(b[5]) <= 50.0)
+    assert np.allclose(b[5], np.round(b[5]))
