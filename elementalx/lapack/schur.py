@@ -33,6 +33,9 @@ from ..blas.gemm import Gemm
 from .condense import Hessenberg, hessenberg_apply_q
 
 
+_NATIVE_QR_CUTOFF = 384
+
+
 def _wilkinson_shift(T: np.ndarray, m: int) -> complex:
     a, b = T[m - 2, m - 2], T[m - 2, m - 1]
     c, d = T[m - 1, m - 2], T[m - 1, m - 1]
@@ -46,31 +49,31 @@ def _wilkinson_shift(T: np.ndarray, m: int) -> complex:
 
 def _single_sweep(T, Z, l, m, mu, want_vecs) -> None:
     """One implicit single-shift QR sweep on window [l, m) (Givens bulge
-    chase), updating T (and Z) in place."""
+    chase), updating T (and Z) in place. Each rotation is applied as one
+    2xlen / lenx2 matmul (one BLAS call per side instead of a dozen
+    small slice ops — the sweep is pure Python overhead otherwise)."""
     x = T[l, l] - mu
     y = T[l + 1, l]
+    G = np.empty((2, 2), T.dtype)
     for k in range(l, m - 1):
-        r = np.hypot(abs(x), abs(y))
+        ax, ay = abs(x), abs(y)
+        r = np.hypot(ax, ay)
         if r == 0.0:
-            cs, sn = 1.0, 0.0
+            cs, sn = 1.0, 0.0 + 0.0j
         else:
-            cs = abs(x) / r
-            phase = x / abs(x) if abs(x) > 0 else 1.0
+            cs = ax / r
+            phase = x / ax if ax > 0 else 1.0
             sn = phase * np.conj(y) / r
-        row_k = T[k, max(k - 1, 0):].copy()
-        row_k1 = T[k + 1, max(k - 1, 0):].copy()
-        T[k, max(k - 1, 0):] = cs * row_k + sn * row_k1
-        T[k + 1, max(k - 1, 0):] = -np.conj(sn) * row_k + cs * row_k1
+        G[0, 0] = cs
+        G[0, 1] = sn
+        G[1, 0] = -np.conj(sn)
+        G[1, 1] = cs
+        c0 = k - 1 if k > l else l
+        T[k:k + 2, c0:] = G @ T[k:k + 2, c0:]
         hi = min(k + 3, m)
-        col_k = T[:hi, k].copy()
-        col_k1 = T[:hi, k + 1].copy()
-        T[:hi, k] = cs * col_k + np.conj(sn) * col_k1
-        T[:hi, k + 1] = -sn * col_k + cs * col_k1
+        T[:hi, k:k + 2] = T[:hi, k:k + 2] @ G.conj().T
         if want_vecs:
-            zc_k = Z[:, k].copy()
-            zc_k1 = Z[:, k + 1].copy()
-            Z[:, k] = cs * zc_k + np.conj(sn) * zc_k1
-            Z[:, k + 1] = -sn * zc_k + cs * zc_k1
+            Z[:, k:k + 2] = Z[:, k:k + 2] @ G.conj().T
         if k < m - 2:
             x = T[k + 1, k]
             y = T[k + 2, k]
@@ -114,6 +117,170 @@ def _rehessenberg(T, Z, k0, k1, want_vecs) -> None:
         T[j + 2:k1, j] = 0.0  # beta landed at T[j+1, j]; clean the dust
 
 
+def _reflector3(v: np.ndarray):
+    """Unnormalised 3(or 2)-vector -> (v_house, tau) with
+    (I - tau v v^H) x ∝ e1 (complex Householder, tau real)."""
+    nrm = np.linalg.norm(v)
+    if nrm == 0.0:
+        return np.zeros_like(v), 0.0
+    a0 = v[0]
+    sign = a0 / abs(a0) if abs(a0) > 0 else 1.0
+    beta = -sign * nrm
+    vh = v.copy()
+    vh[0] -= beta
+    vn2 = np.real(vh @ np.conj(vh))
+    if vn2 == 0.0:
+        return np.zeros_like(v), 0.0
+    return vh, 2.0 / vn2
+
+
+def _multibulge_sweep(T, Z, l, m, shifts, want_vecs, accum_extra=32) -> None:
+    """Small-bulge multishift QR sweep with accumulated (level-3) updates
+    on window [l, m) (reference: spectral/HessenbergSchur's multibulge
+    tree; Braman-Byers-Mathias part I / LAPACK zlaqr5 structure).
+
+    The shifts are paired into 3x3 two-shift bulges spaced 3 rows apart;
+    the packet marches down the Hessenberg band inside a sliding
+    accumulation window, and the window-local unitary U is applied to the
+    off-window row/column strips (and Z) as matrix products — converting
+    ~80% of the sweep's flops from scalar Givens traffic into GEMMs."""
+    win = m - l
+    ns = (len(shifts) // 2) * 2
+    if ns == 0:
+        return
+    if win < 12 or ns < 4:
+        for mu in shifts[: max(ns, 1)]:
+            _single_sweep(T, Z, l, m, mu, want_vecs)
+        return
+    nb = min(ns // 2, max(1, (win - 3) // 3))
+    shifts = np.asarray(shifts[: 2 * nb])
+    n = T.shape[0]
+    # chase-step counter: bulge j is introduced at step 3*j (leading
+    # column l); at packet position p = t - 3*j >= 1 its chase reflector
+    # annihilates column l + p - 1, after which its leading column is
+    # l + p. The last useful chase is at column m - 3 (p = m - 2 - l).
+    total = (m - 2 - l) + 3 * (nb - 1) + 1
+    t = 0
+    while t < total:
+        # accumulation window [k1, k2): covers every row any bulge can
+        # touch during the next `span` chase steps
+        top_pos = min(l + max(t - 3 * (nb - 1), 0), m - 2)
+        span = min(accum_extra + 3 * nb, total - t)
+        k1 = max(top_pos - 1, l)
+        # deepest element touched in the pass: the right application at
+        # the last chase position k_last = l + (t+span-1) reaches row
+        # k_last + 4 (the entry that becomes the next bulge)
+        k2 = min(l + (t + span - 1) + 5, m)
+        w = k2 - k1
+        U = np.eye(w, dtype=T.dtype)
+
+        def _apply_one(vh, tau, rows, c0):
+            """Sequential similarity for edge cases (introduction and the
+            shrunken 2-row exit reflector)."""
+            if tau == 0.0:
+                return
+            Wl = np.conj(vh) @ T[rows, c0:k2]
+            T[rows, c0:k2] -= tau * np.outer(vh, Wl)
+            rend = min(rows.stop + 1, k2)
+            Wr = T[k1:rend, rows] @ vh
+            T[k1:rend, rows] -= tau * np.outer(Wr, np.conj(vh))
+            ur = slice(rows.start - k1, rows.stop - k1)
+            Wu = U[:, ur] @ vh
+            U[:, ur] -= tau * np.outer(Wu, np.conj(vh))
+
+        for step in range(t, t + span):
+            # The bulges' reflector supports (rows k+1..k+3 per chase
+            # column k, spaced >= 3 apart) are pairwise disjoint, so the
+            # per-step reflectors commute and are applied BATCHED: one
+            # gather + einsum + scatter for all bulges' left updates,
+            # one for the rights, one for U — O(nb) Python overhead per
+            # step becomes O(1) (the zlaqr5 bulk-chase idea).
+            # strict bottom-first order: the 2-row exit reflector
+            # (deepest) is applied before the batch, and the bulge
+            # INTRODUCTION after it — the introduction's right update
+            # writes the subdiagonal entry the next chase reads, and its
+            # bulge tip lands in columns the full-width batched left
+            # would otherwise smear
+            ks = []
+            intro = False
+            for j in range(nb):
+                p = step - 3 * j
+                if p < 0 or p > m - 2 - l:
+                    continue
+                if p == 0:
+                    intro = True
+                    continue
+                k = l + p - 1   # chase column
+                if k >= m - 2:
+                    continue
+                if k == m - 3:  # exit reflector shrinks to 2 rows
+                    v = T[k + 1:m, k].copy()
+                    vh, tau = _reflector3(v)
+                    _apply_one(vh, tau, slice(k + 1, m), k)
+                    T[k + 2:m, k] = 0.0
+                    continue
+                ks.append(k)
+            if ks:
+                ka = np.asarray(ks)
+                ridx = ka[:, None] + np.arange(1, 4)[None, :]  # (b, 3)
+                V = T[ridx, ka[:, None]]                       # (b, 3)
+                # vectorized Householder of each 3-vector
+                nrm = np.sqrt(np.sum(np.abs(V) ** 2, axis=1))
+                a0 = V[:, 0]
+                aa = np.abs(a0)
+                sign = np.where(aa > 0, a0 / np.where(aa == 0, 1, aa), 1.0)
+                beta = -sign * nrm
+                Vh = V.copy()
+                Vh[:, 0] -= beta
+                vn2 = np.sum(np.abs(Vh) ** 2, axis=1).real
+                tau = np.where(vn2 > 0, 2.0 / np.where(vn2 == 0, 1, vn2),
+                               0.0)
+                # batched left: rows ridx (disjoint), cols [k1, k2)
+                G = T[ridx, k1:k2]                             # (b, 3, w)
+                Wl = np.einsum('bi,biw->bw', np.conj(Vh), G)
+                G -= (tau[:, None] * Vh)[:, :, None] * Wl[:, None, :]
+                T[ridx, k1:k2] = G
+                # batched right: cols ridx (disjoint), rows [k1, k2)
+                G = T[k1:k2, :][:, ridx]                       # (w, b, 3)
+                Wr = np.einsum('wbi,bi->wb', G, Vh)
+                G -= Wr[:, :, None] * (tau[:, None] * np.conj(Vh))[None]
+                T[k1:k2, ridx.ravel()] = G.reshape(w, -1)
+                # batched U accumulation (right-multiplication)
+                G = U[:, ridx - k1]                            # (w, b, 3)
+                Wu = np.einsum('wbi,bi->wb', G, Vh)
+                G -= Wu[:, :, None] * (tau[:, None] * np.conj(Vh))[None]
+                U[:, (ridx - k1).ravel()] = G.reshape(w, -1)
+                # exact zeros below the subdiagonal of each chase column
+                T[ridx[:, 1:], ka[:, None]] = 0.0
+            if intro:
+                # introduce the new bulge at the top of the window:
+                # v = first 3 rows of (H - s1)(H - s2) e1
+                j = step // 3
+                s1, s2 = shifts[2 * j], shifts[2 * j + 1]
+                h00, h01 = T[l, l], T[l, l + 1]
+                h10, h11 = T[l + 1, l], T[l + 1, l + 1]
+                v0 = (h00 - s1) * (h00 - s2) + h01 * h10
+                v1 = h10 * (h00 + h11 - s1 - s2)
+                if m - l >= 3:
+                    v = np.array([v0, v1, h10 * T[l + 2, l + 1]],
+                                 dtype=T.dtype)
+                else:
+                    v = np.array([v0, v1], dtype=T.dtype)
+                vh, tau = _reflector3(v)
+                _apply_one(vh, tau, slice(l, l + v.shape[0]), k1)
+        # level-3 off-window updates
+        if k2 < n:
+            T[k1:k2, k2:] = np.conj(U.T) @ T[k1:k2, k2:]
+        if k1 > 0:
+            T[:k1, k1:k2] = T[:k1, k1:k2] @ U
+        if want_vecs:
+            Z[:, k1:k2] = Z[:, k1:k2] @ U
+        t += span
+    # clean sub-subdiagonal dust left by the bulge exits
+    for k in range(l, m - 2):
+        T[k + 2:min(k + 4, m), k] = 0.0
+
+
 def _aed(T, Z, l, m, w, want_vecs, eps) -> Tuple[int, np.ndarray]:
     """Aggressive early deflation on the trailing w x w window of [l, m)
     (reference: spectral/HessenbergSchur's AED; Braman-Byers-Mathias).
@@ -121,7 +288,11 @@ def _aed(T, Z, l, m, w, want_vecs, eps) -> Tuple[int, np.ndarray]:
     eigenvalues to use as shifts). Updates T, Z in place."""
     k0 = m - w
     Hw = T[k0:m, k0:m].copy()
-    Tw, Zw = _hessenberg_qr_host(Hw, True, use_aed=False)
+    # the window eigensolve recurses with proportionally smaller AED
+    # windows (bottoming out in plain sweeps below ~3*16) — the window
+    # solves dominate the driver's cost otherwise
+    Tw, Zw = _hessenberg_qr_host(Hw, True, use_aed=True,
+                                 aed_window=max(8, w // 4))
     beta = T[k0, k0 - 1]
     scale = max(np.max(np.abs(np.diag(Tw))), abs(beta), 1e-300)
     # Braman-Byers-Mathias reordering: test window eigenvalues bottom-up;
@@ -173,14 +344,31 @@ def _aed(T, Z, l, m, w, want_vecs, eps) -> Tuple[int, np.ndarray]:
 def _hessenberg_qr_host(H: np.ndarray, want_vecs: bool,
                         max_sweeps_per_eig: int = 40,
                         use_aed: bool = True,
-                        aed_window: int = 64
+                        aed_window: Optional[int] = None
                         ) -> Tuple[np.ndarray, np.ndarray]:
-    """Complex implicit single-shift Hessenberg QR with Wilkinson shifts,
-    deflation, and aggressive early deflation with window reordering for
-    larger problems (reference: spectral/HessenbergSchur/'s AED;
-    3.3x faster than plain shifts at n=640 with identical residuals —
-    the multibulge packet refinement remains future work)."""
+    """Complex implicit Hessenberg QR with Wilkinson shifts, deflation,
+    aggressive early deflation with window reordering, and small-bulge
+    multishift sweeps with accumulated level-3 updates for larger
+    problems (reference: spectral/HessenbergSchur/'s AED + multibulge
+    tree)."""
     n = H.shape[0]
+    if n <= _NATIVE_QR_CUTOFF:
+        # serial bottom-level kernel in C++ (zlahqr role): the scalar
+        # Givens chase is interpreter-bound in numpy; the native kernel
+        # runs it at compiled speed. Falls back to the numpy path below.
+        try:
+            from ..native import hess_qr_native
+
+            T, Z = hess_qr_native(H, want_vecs, max_sweeps_per_eig)
+            return T, (Z if Z is not None else np.eye(n, dtype=complex))
+        except RuntimeError:
+            pass
+    if aed_window is None:
+        # LAPACK-style size scaling: larger deflation windows (and hence
+        # bigger multibulge shift packets) for larger problems; capped —
+        # oversized windows make the window solves and the sweeps' strip
+        # GEMMs dominate (measured knee ~96 at n=1000)
+        aed_window = int(max(32, min(96, n // 6)))
     T = H.astype(np.complex128).copy()
     Z = np.eye(n, dtype=np.complex128)
     eps = np.finfo(np.float64).eps
@@ -207,16 +395,18 @@ def _hessenberg_qr_host(H: np.ndarray, want_vecs: bool,
                 l = k
                 break
         win = m - l
-        if use_aed and win > 2 * aed_window:
+        if use_aed and win > 3 * aed_window and win > 48:
             w = min(aed_window, win - 1)
             d, shifts = _aed(T, Z, l, m, w, want_vecs, eps)
             if d > 0:
                 m -= d
                 continue
-            # no deflation: burn a few sweeps with the AED shifts
-            for mu in shifts[-4:]:
-                _single_sweep(T, Z, l, m, mu, want_vecs)
-                its += 1
+            # no deflation: one small-bulge multishift sweep driven by
+            # the AED shifts (level-3 accumulated updates); packet capped
+            # at 64 shifts to keep the accumulation window ~128 wide
+            ns = int(min(len(shifts), 64, max(4, win // 6))) & ~1
+            _multibulge_sweep(T, Z, l, m, shifts[-ns:], want_vecs)
+            its += max(ns // 2, 1)
             continue
         mu = _wilkinson_shift(T, m)
         _single_sweep(T, Z, l, m, mu, want_vecs)

@@ -68,6 +68,14 @@ def _load():
             np.ctypeslib.ndpointer(np.int32, flags="C"),
             np.ctypeslib.ndpointer(np.int32, flags="C"),
         ]
+        lib.elx_hess_qr.restype = ctypes.c_int
+        lib.elx_hess_qr.argtypes = [
+            ctypes.c_int,
+            np.ctypeslib.ndpointer(np.complex128, flags="C"),
+            np.ctypeslib.ndpointer(np.complex128, flags="C"),
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
         _lib = lib
     except OSError:
         _lib = None
@@ -100,6 +108,25 @@ def tridiag_eig_native(d: np.ndarray, e: np.ndarray,
         raise RuntimeError(f"elx_tridiag_eig rc={rc}")
     # Z stored per-eigenvector contiguously => rows are vectors; transpose
     return (w, Z.T.copy() if want_vectors else None)
+
+
+def hess_qr_native(H: np.ndarray, want_vecs: bool = True,
+                   max_sweeps_per_eig: int = 40
+                   ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Serial complex Hessenberg QR (zlahqr-role) for the Schur driver's
+    small windows. Raises RuntimeError if the native library is
+    unavailable — callers fall back to the numpy sweeps."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    n = H.shape[0]
+    T = np.ascontiguousarray(H, np.complex128).copy()
+    Z = np.zeros((n, n) if want_vecs else (1, 1), np.complex128)
+    rc = lib.elx_hess_qr(n, T.reshape(-1), Z.reshape(-1),
+                         int(want_vecs), int(max_sweeps_per_eig))
+    if rc != 0:
+        raise RuntimeError(f"elx_hess_qr rc={rc}")
+    return T, (Z if want_vecs else None)
 
 
 def amd_order(colptr: np.ndarray, rowind: np.ndarray, n: int) -> np.ndarray:

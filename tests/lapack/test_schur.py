@@ -136,3 +136,100 @@ def test_pseudospectra_lanczos(grid, rng):
     # near an eigenvalue the resolvent blows up
     j1 = np.argmin(np.abs(re - 1.0))
     assert smin[i0, j1] < 1e-6
+
+
+def test_pseudospectra_ira(grid, rng):
+    """Implicitly restarted Arnoldi kernel (reference:
+    Pseudospectra/IRA.hpp)."""
+    n = 12
+    a = np.diag(np.arange(1.0, n + 1))
+    port = Pseudospectra(DistMatrix.from_global(a, grid=grid),
+                         (0.0, 4.0), (-1.0, 1.0), real_size=9, imag_size=5,
+                         iters=12, alg="ira")
+    smin = np.asarray(port.sigma_min_map)
+    re = np.asarray(port.real_grid)
+    im = np.asarray(port.imag_grid)
+    i0 = np.argmin(np.abs(im - 0.0))
+    j0 = np.argmin(np.abs(re - 0.0))
+    j1 = np.argmin(np.abs(re - 1.0))
+    assert abs(smin[i0, j0] - 1.0) < 1e-6
+    assert smin[i0, j1] < 1e-6
+
+
+def test_pseudospectra_one_norm(grid, rng):
+    """Hager-Higham one-norm estimator (reference:
+    Pseudospectra/HagerHigham.hpp): on an upper-triangular test matrix
+    the estimate must match the exact one norm of the inverse."""
+    from elementalx.lapack.pseudospectra import OneNormPseudospectra
+
+    n = 10
+    t = np.triu(rng.standard_normal((n, n)))
+    np.fill_diagonal(t, np.arange(2.0, n + 2))
+    port = OneNormPseudospectra(DistMatrix.from_global(t, grid=grid),
+                                (-0.5, 0.5), (-0.5, 0.5),
+                                real_size=3, imag_size=3, iters=10)
+    est = np.asarray(port.inv_norm_map)
+    re = np.asarray(port.real_grid)
+    im = np.asarray(port.imag_grid)
+    for ii, zi in enumerate(im):
+        for jj, zr in enumerate(re):
+            z = zr + 1j * zi
+            exact = np.linalg.norm(
+                np.linalg.inv(t - z * np.eye(n)), 1)
+            # Hager's estimator is a lower bound, almost always tight
+            assert est[ii, jj] <= exact * (1 + 1e-10)
+            assert est[ii, jj] >= 0.3 * exact
+
+
+def test_multibulge_sweep(rng):
+    """Small-bulge multishift sweep with accumulated level-3 updates
+    (reference: spectral/HessenbergSchur's multibulge tree): one sweep
+    must be an exact unitary similarity that preserves Hessenberg form,
+    for full windows, sub-windows, and split accumulation passes."""
+    from elementalx.lapack.schur import _multibulge_sweep
+
+    for n, ns, extra in [(40, 8, 8), (120, 16, 24)]:
+        H0 = np.triu(rng.standard_normal((n, n))
+                     + 1j * rng.standard_normal((n, n)), -1)
+        T = H0.copy()
+        Z = np.eye(n, dtype=complex)
+        shifts = rng.standard_normal(ns) + 1j * rng.standard_normal(ns)
+        _multibulge_sweep(T, Z, 0, n, shifts, True, accum_extra=extra)
+        assert np.linalg.norm(Z @ T @ Z.conj().T - H0) \
+            / np.linalg.norm(H0) < 1e-13
+        assert np.linalg.norm(Z.conj().T @ Z - np.eye(n)) < 1e-13
+        assert np.max(np.abs(np.tril(T, -2))) < 1e-10
+    # sub-window with deflated boundaries
+    n = 80
+    H0 = np.triu(rng.standard_normal((n, n))
+                 + 1j * rng.standard_normal((n, n)), -1)
+    H0[15, 14] = 0.0
+    H0[65, 64] = 0.0
+    T = H0.copy()
+    Z = np.eye(n, dtype=complex)
+    shifts = rng.standard_normal(12) + 1j * rng.standard_normal(12)
+    _multibulge_sweep(T, Z, 15, 65, shifts, True, accum_extra=12)
+    assert np.linalg.norm(Z @ T @ Z.conj().T - H0) / np.linalg.norm(H0) < 1e-13
+    assert np.max(np.abs(np.tril(T, -2))) < 1e-10
+
+
+def test_native_hess_qr(rng):
+    """Native serial Hessenberg QR kernel (zlahqr role) used for the
+    Schur driver's AED window solves."""
+    from elementalx import native as natmod
+
+    if not natmod.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    n = 96
+    H = np.triu(rng.standard_normal((n, n))
+                + 1j * rng.standard_normal((n, n)), -1)
+    T, Z = natmod.hess_qr_native(H, True)
+    assert np.linalg.norm(Z @ T @ Z.conj().T - H) / np.linalg.norm(H) < 1e-12
+    assert np.linalg.norm(Z.conj().T @ Z - np.eye(n)) < 1e-12
+    assert np.allclose(T, np.triu(T))
+    wref = np.sort(np.linalg.eigvals(H))
+    wgot = np.sort(np.diag(T))
+    assert np.max(np.abs(np.sort_complex(wref) - np.sort_complex(wgot))) \
+        / np.max(np.abs(wref)) < 1e-8
