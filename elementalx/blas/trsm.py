@@ -105,6 +105,42 @@ def _left_solve(T: jax.Array, B: jax.Array, lower: bool, nb: int) -> jax.Array:
     return jax.lax.fori_loop(0, nblk, step, X0)
 
 
+def _right_solve_adjoint_lower(T: jax.Array, B: jax.Array, nb: int
+                               ) -> jax.Array:
+    """Solve X T^H = B for lower-triangular T (already prepped), i.e. a
+    RIGHT solve against the upper-triangular T^H, without materialising
+    any transpose of T or B: blocked partitioned-inverse substitution
+    with each step one (P, M) @ (M, nb) MXU matmul. Used by the Cholesky
+    recursion's L21 = A21 inv(L11)^H panels."""
+    if T.dtype in (jnp.bfloat16, jnp.float16):
+        out = _right_solve_adjoint_lower(T.astype(jnp.float32),
+                                         B.astype(jnp.float32), nb)
+        return out.astype(B.dtype)
+    M = T.shape[0]
+    P = B.shape[0]
+    nb = _pick_nb(M, nb)
+    nblk = M // nb
+    ks = jnp.arange(nblk) * nb
+    blocks = jax.vmap(
+        lambda k0: jax.lax.dynamic_slice(T, (k0, k0), (nb, nb)))(ks)
+    eye = jnp.broadcast_to(jnp.eye(nb, dtype=T.dtype), (nblk, nb, nb))
+    tri_inv = jax.lax.linalg.triangular_solve(
+        blocks, eye, left_side=True, lower=True)
+
+    def step(k, X):
+        k0 = k * nb
+        rowL = jax.lax.dynamic_slice(T, (k0, 0), (nb, M))   # L[k, :]
+        Bk = jax.lax.dynamic_slice(B, (0, k0), (P, nb))
+        # (T^H)[:, k-block] = conj(rowL)^T
+        Rk = Bk - local_gemm(X, jnp.conj(rowL).T)
+        inv_k = jax.lax.dynamic_index_in_dim(tri_inv, k, keepdims=False)
+        Xk = local_gemm(Rk, jnp.conj(inv_k).T)
+        return jax.lax.dynamic_update_slice(X, Xk, (0, k0))
+
+    X0 = jnp.zeros_like(B)
+    return jax.lax.fori_loop(0, nblk, step, X0)
+
+
 @functools.partial(jax.jit, static_argnames=('side', 'uplo', 'orientation', 'diag', 'blocksize'))
 def Trsm(
     side: LeftOrRight,

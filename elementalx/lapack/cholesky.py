@@ -59,10 +59,12 @@ def _chol_lower_rec(a: jax.Array, nb: int) -> jax.Array:
     a21 = a[h:, :h]
     a22 = a[h:, h:]
     l11 = _chol_lower_rec(a11, nb)
-    # L21 = A21 inv(L11)^H  — right-side triangular solve, batched on MXU
-    l21 = jax.lax.linalg.triangular_solve(
-        l11, a21, left_side=False, lower=True, conjugate_a=True,
-        transpose_a=True)
+    # L21 = A21 inv(L11)^H — partitioned-inverse blocked substitution
+    # (pure MXU matmuls; XLA's TriangularSolve lowers to a slow
+    # scalar-ish substitution on TPU)
+    from ..blas.trsm import _right_solve_adjoint_lower
+
+    l21 = _right_solve_adjoint_lower(l11, a21, nb)
     a22u = a22 - local_gemm(l21, jnp.conj(l21.T))
     l22 = _chol_lower_rec(a22u, nb)
     top = jnp.concatenate([l11, jnp.zeros((h, n - h), a.dtype)], axis=1)
@@ -95,6 +97,11 @@ def _cholesky_jit(uplo: UpperOrLower, A: DistMatrix,
     if A.m != A.n:
         raise ValueError("Cholesky requires a square matrix")
     nb = blocksize or Blocksize()
+    if blocksize is None and A.grid.size == 1:
+        # larger base cases keep more of the work inside XLA's native
+        # cholesky composite on a single chip (measured knee ~1024 on
+        # v5e: 20.7 ms -> 16.0 ms at n=8192, PERF.md)
+        nb = max(nb, 1024)
     d = _prep_hpd(A, uplo)
     # low-precision storage factors through f32 (XLA's Cholesky/
     # TriangularSolve have no bf16/f16 kernels; accumulation wants f32
