@@ -43,43 +43,47 @@ class TridiagFactorization(NamedTuple):
     phase: jax.Array
 
 
-def _tridiag_panel(a0, a, V, W, tau, k0, nb, m):
-    """latrd-style panel: returns updated (a, V, W, tau). ``a`` carries the
-    packed reflectors; the trailing matrix is a0 - V W^H - W V^H with the
-    stored full V/W (masked by column)."""
-    M = a.shape[0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
-    colsM = jax.lax.broadcasted_iota(jnp.int32, (M, V.shape[1]), 1)
+def _tridiag_panel(at0, at, V, W, tau, k0, nb, m_loc):
+    """latrd-style panel on the TRAILING block: ``at``/``at0`` are the
+    (M-k0, M-k0) trailing slice (local indices; the panel columns are
+    local 0..nb); the trailing matrix is at0 - V W^H - W V^H with the
+    stored V/W (masked by column). Confining the per-column Hermitian
+    matvec — the reduction's HBM bound — to the trailing block cuts the
+    total matvec traffic from n*n^2 to ~n^3/3 (PERF.md). ``tau`` stays
+    globally indexed (offset k0)."""
+    Mt = at.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (Mt,), 0)
+    colsM = jax.lax.broadcasted_iota(jnp.int32, (Mt, V.shape[1]), 1)
 
     def col_step(j, carry):
-        a, V, W, tau = carry
-        jc = k0 + j
+        at, V, W, tau = carry
         colmask = colsM < j  # previously-built panel columns
         Vp = jnp.where(colmask, V, jnp.zeros_like(V))
         Wp = jnp.where(colmask, W, jnp.zeros_like(W))
-        acol = jax.lax.dynamic_index_in_dim(a, jc, axis=1, keepdims=False)
-        vrow = jax.lax.dynamic_index_in_dim(V, jc, axis=0, keepdims=False)
-        wrow = jax.lax.dynamic_index_in_dim(W, jc, axis=0, keepdims=False)
+        acol = jax.lax.dynamic_index_in_dim(at, j, axis=1, keepdims=False)
+        vrow = jax.lax.dynamic_index_in_dim(V, j, axis=0, keepdims=False)
+        wrow = jax.lax.dynamic_index_in_dim(W, j, axis=0, keepdims=False)
         vrow = jnp.where(colmask[0], vrow, jnp.zeros_like(vrow))
         wrow = jnp.where(colmask[0], wrow, jnp.zeros_like(wrow))
         # current column of the updated trailing matrix
         acur = acol - Vp @ jnp.conj(wrow) - Wp @ jnp.conj(vrow)
-        v, tj, beta = householder(acur, jc + 1, m)
-        tau = tau.at[jc].set(tj)
+        v, tj, beta = householder(acur, j + 1, m_loc)
+        tau = tau.at[k0 + j].set(tj)
         # store the column: diagonal entry, beta at subdiagonal, v below
-        newcol = jnp.where(rows > jc + 1, v, acur)
-        newcol = jnp.where(rows == jc + 1, beta, newcol)
-        a = jax.lax.dynamic_update_index_in_dim(a, newcol[:, None], jc, axis=1)
+        newcol = jnp.where(rows > j + 1, v, acur)
+        newcol = jnp.where(rows == j + 1, beta, newcol)
+        at = jax.lax.dynamic_update_index_in_dim(at, newcol[:, None], j,
+                                                 axis=1)
         # w = tau A_cur v - (|tau|^2/2)(v^H A_cur v) v  — the exact rank-2
         # form of the unitary similarity H^H A H with complex tau
-        Av = a0 @ v
+        Av = at0 @ v
         p = tj * (Av - Vp @ (jnp.conj(Wp.T) @ v) - Wp @ (jnp.conj(Vp.T) @ v))
         w = p - (jnp.conj(tj) * 0.5 * jnp.vdot(v, p)) * v
         V = V.at[:, j].set(v)
         W = W.at[:, j].set(w)
-        return a, V, W, tau
+        return at, V, W, tau
 
-    return jax.lax.fori_loop(0, nb, col_step, (a, V, W, tau))
+    return jax.lax.fori_loop(0, nb, col_step, (at, V, W, tau))
 
 
 @functools.partial(jax.jit, static_argnames=('uplo', 'blocksize'))
@@ -99,17 +103,25 @@ def HermitianTridiag(uplo: UpperOrLower, A: DistMatrix,
     tau = jnp.zeros((M,), a.dtype)
 
     for b in range(nblk):
+        # every step works on the static trailing block (rows/cols >=
+        # k0): the panel's per-column Hermitian matvecs and the rank-2w
+        # trailing update never touch the finished rows (total traffic
+        # ~n^3/3 instead of n^3; entries above the finished rows are
+        # never read again — the packed output's reflectors live below
+        # the first subdiagonal)
         k0 = b * nb
         w = min(nb, ncols - k0)
-        a0 = a  # frozen copy for panel matvecs
-        V = jnp.zeros((M, w), a.dtype)
-        W = jnp.zeros((M, w), a.dtype)
-        a, V, W, tau = _tridiag_panel(a0, a, V, W, tau, k0, w, m)
-        # two-sided trailing update: only touches columns >= k0 + w
-        colsN = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+        at = a[k0:, k0:]
+        Mt = at.shape[0]
+        at0 = at  # frozen copy for panel matvecs
+        V = jnp.zeros((Mt, w), a.dtype)
+        W = jnp.zeros((Mt, w), a.dtype)
+        at, V, W, tau = _tridiag_panel(at0, at, V, W, tau, k0, w, m - k0)
+        # two-sided trailing update: only touches local columns >= w
+        colsN = jax.lax.broadcasted_iota(jnp.int32, at.shape, 1)
         upd = local_gemm(V, jnp.conj(W.T)) + local_gemm(W, jnp.conj(V.T))
-        right = colsN >= k0 + w
-        a = jnp.where(right, a - upd, a)
+        at = jnp.where(colsN >= w, at - upd, at)
+        a = jax.lax.dynamic_update_slice(a, at, (k0, k0))
 
     d = jnp.real(jnp.diagonal(a))
     e_c = jnp.diagonal(a, -1)
