@@ -180,48 +180,108 @@ class BidiagFactorization(NamedTuple):
     phaseV: jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=())
-def Bidiag(A: DistMatrix) -> BidiagFactorization:
+def _bidiag_panel(at0, at, tauP, tauQ, k0, w, m_loc, n_loc):
+    """labrd-style panel on the trailing slice ``at`` (local indices,
+    columns/rows 0..w are the panel): the implicitly-updated trailing
+    matrix is at0 - V Yh^H - X Uh^H, so each column costs two trailing
+    matvecs (at0^H v and at0 u) plus small (Mt, w) GEMVs — the
+    bandwidth shape of the reduction — and the trailing block is
+    repaired with two MXU GEMMs by the caller. tauP/tauQ stay globally
+    indexed (offset k0)."""
+    Mt, Nt = at.shape
+    rloc = jax.lax.broadcasted_iota(jnp.int32, (Mt,), 0)
+    cloc = jax.lax.broadcasted_iota(jnp.int32, (Nt,), 0)
+    V = jnp.zeros((Mt, w), at.dtype)
+    Yh = jnp.zeros((Nt, w), at.dtype)
+    X = jnp.zeros((Mt, w), at.dtype)
+    Uh = jnp.zeros((Nt, w), at.dtype)
+    colsW = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+
+    def col_step(i, carry):
+        at, V, Yh, X, Uh, tauP, tauQ = carry
+        mask = colsW < i
+        Vp = jnp.where(mask, V, jnp.zeros_like(V))
+        Yp = jnp.where(mask, Yh, jnp.zeros_like(Yh))
+        Xp = jnp.where(mask, X, jnp.zeros_like(X))
+        Up = jnp.where(mask, Uh, jnp.zeros_like(Uh))
+        # current column i of the implicit matrix (valid at rows >= i)
+        vrow = jax.lax.dynamic_index_in_dim(Yp, i, axis=0, keepdims=False)
+        urow = jax.lax.dynamic_index_in_dim(Up, i, axis=0, keepdims=False)
+        col = jax.lax.dynamic_index_in_dim(at0, i, axis=1, keepdims=False) \
+            - Vp @ jnp.conj(vrow) - Xp @ jnp.conj(urow)
+        v, tj, beta = householder(col, i, m_loc)
+        tauP = tauP.at[k0 + i].set(tj)
+        old = jax.lax.dynamic_index_in_dim(at, i, axis=1, keepdims=False)
+        newcol = jnp.where(rloc > i, v, old)
+        newcol = jnp.where(rloc == i, beta, newcol)
+        at = jax.lax.dynamic_update_index_in_dim(at, newcol[:, None], i,
+                                                 axis=1)
+        # y_i = tau (A_impl)^H v  — extends the left-update factor
+        y = tj * (jnp.conj(at0.T) @ v
+                  - Yp @ (jnp.conj(Vp.T) @ v) - Up @ (jnp.conj(Xp.T) @ v))
+        V = V.at[:, i].set(v)
+        Yh = Yh.at[:, i].set(y)
+        # row i of the implicit matrix after the left reflector
+        # (A' = A_impl - v y^H, and v[i] = 1 at the pivot)
+        Vr = jax.lax.dynamic_index_in_dim(V, i, axis=0, keepdims=False)
+        Xr = jax.lax.dynamic_index_in_dim(Xp, i, axis=0, keepdims=False)
+        Vr = jnp.where(colsW[0] <= i, Vr, jnp.zeros_like(Vr))  # incl. v_i
+        # row_i of (at0 - V Yh^H - X Uh^H): the update terms are
+        # conj(Yh @ conj(V[i,:])) etc.
+        row = jax.lax.dynamic_index_in_dim(at0, i, axis=0, keepdims=False) \
+            - jnp.conj(Yh @ jnp.conj(Vr)) - jnp.conj(Uh @ jnp.conj(Xr))
+        u, sj, gamma = householder(jnp.conj(row), i + 1, n_loc)
+        tauQ = tauQ.at[k0 + i].set(sj)
+        oldr = jax.lax.dynamic_index_in_dim(at, i, axis=0, keepdims=False)
+        newrow = jnp.where(cloc > i + 1, jnp.conj(u), oldr)
+        newrow = jnp.where(cloc == i + 1, jnp.conj(gamma), newrow)
+        at = jax.lax.dynamic_update_index_in_dim(at, newrow[None, :], i,
+                                                 axis=0)
+        # x_i = conj(tau_q) A' u  — extends the right-update factor
+        x = jnp.conj(sj) * (at0 @ u
+                            - V @ (jnp.conj(Yh.T) @ u)
+                            - Xp @ (jnp.conj(Up.T) @ u))
+        X = X.at[:, i].set(x)
+        Uh = Uh.at[:, i].set(u)
+        return at, V, Yh, X, Uh, tauP, tauQ
+
+    at, V, Yh, X, Uh, tauP, tauQ = jax.lax.fori_loop(
+        0, w, col_step, (at, V, Yh, X, Uh, tauP, tauQ))
+    return at, V, Yh, X, Uh, tauP, tauQ
+
+
+@functools.partial(jax.jit, static_argnames=('blocksize',))
+def Bidiag(A: DistMatrix, blocksize: Optional[int] = None
+           ) -> BidiagFactorization:
     """Golub-Kahan upper bidiagonalization A = U B V^H for m >= n
-    (reference: condense/Bidiag.cpp). Unblocked full-width masked updates;
-    each step is two rank-1 MXU updates."""
+    (reference: condense/Bidiag.cpp). Blocked labrd panels on static
+    trailing slices: each column costs two trailing matvecs; the
+    trailing block is repaired once per panel with two MXU GEMMs."""
     Am = A.redistribute(MC, MR)
     a = Am.data
     M, N = a.shape
     m, n = A.m, A.n
     if m < n:
         raise ValueError("Bidiag here requires m >= n (use the adjoint)")
-    rowsv = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
-    colsv = jax.lax.broadcasted_iota(jnp.int32, (N,), 0)
-    tauP0 = jnp.zeros((N,), a.dtype)
-    tauQ0 = jnp.zeros((N,), a.dtype)
+    nb = blocksize or Blocksize()
+    tauP = jnp.zeros((N,), a.dtype)
+    tauQ = jnp.zeros((N,), a.dtype)
+    nblk = (n + nb - 1) // nb
 
-    def step(j, carry):
-        a, tauP, tauQ = carry
-        # left reflector: zero column j below the diagonal
-        x = jax.lax.dynamic_index_in_dim(a, j, axis=1, keepdims=False)
-        v, tj, beta = householder(x, j, m)
-        tauP = tauP.at[j].set(tj)
-        right = colsv > j
-        Amask = jnp.where(right[None, :], a, jnp.zeros_like(a))
-        wv = local_gemm(jnp.conj(v)[None, :], Amask)
-        a = a - tj * jnp.outer(v, wv[0])
-        newcol = jnp.where(rowsv > j, v, x).at[j].set(beta)
-        a = jax.lax.dynamic_update_index_in_dim(a, newcol[:, None], j, axis=1)
-        # right reflector: zero row j right of the superdiagonal
-        y = jax.lax.dynamic_index_in_dim(a, j, axis=0, keepdims=False)
-        u, sj, gamma = householder(jnp.conj(y), j + 1, n)
-        tauQ = tauQ.at[j].set(sj)
-        below = rowsv > j
-        Amask2 = jnp.where(below[:, None], a, jnp.zeros_like(a))
-        wu = local_gemm(Amask2, u[:, None])  # A u
-        a = a - jnp.conj(sj) * jnp.outer(wu[:, 0], jnp.conj(u))
-        newrow = jnp.where(colsv > j + 1, jnp.conj(u), y)
-        newrow = jnp.where(colsv == j + 1, jnp.conj(gamma), newrow)
-        a = jax.lax.dynamic_update_index_in_dim(a, newrow[None, :], j, axis=0)
-        return a, tauP, tauQ
-
-    a, tauP, tauQ = jax.lax.fori_loop(0, n, step, (a, tauP0, tauQ0))
+    for b in range(nblk):
+        k0 = b * nb
+        w = min(nb, n - k0)
+        at = a[k0:, k0:]
+        at0 = at
+        at, V, Yh, X, Uh, tauP, tauQ = _bidiag_panel(
+            at0, at, tauP, tauQ, k0, w, m - k0, n - k0)
+        if k0 + w < n:
+            # repair the trailing block [w:, w:] (rows/cols < w hold the
+            # packed reflectors + d/e — finalized, never updated again)
+            trail = at0[w:, w:] - local_gemm(V[w:], jnp.conj(Yh[w:].T)) \
+                - local_gemm(X[w:], jnp.conj(Uh[w:].T))
+            at = jax.lax.dynamic_update_slice(at, trail, (w, w))
+        a = jax.lax.dynamic_update_slice(a, at, (k0, k0))
     dc = jnp.diagonal(a)[:N]
     ec = jnp.diagonal(a, 1)[: N - 1]
     if jnp.iscomplexobj(a):
