@@ -322,41 +322,99 @@ class HessenbergFactorization(NamedTuple):
     tau: jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=('uplo',))
-def Hessenberg(uplo: UpperOrLower, A: DistMatrix) -> HessenbergFactorization:
+def _hess_panel(a, tau, k0, w, m):
+    """lahr2-style Hessenberg panel for columns [k0, k0+w): returns
+    (a, tau, V, T, Y) with the panel columns finalized in ``a`` and the
+    accumulated factors for the caller's deferred block updates —
+    A(:, k0+w:) -= Y V^H from the right, then the left compact-WY.
+    V is indexed by local rows (global k0+1..); Y spans all rows (the
+    right multiplication reaches the finished top rows too)."""
+    M = a.shape[0]
+    Mt = M - k0 - 1
+    m_loc = m - k0 - 1
+    rows = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
+    colsW = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    V = jnp.zeros((Mt, w), a.dtype)
+    T = jnp.zeros((w, w), a.dtype)
+    Y = jnp.zeros((M, w), a.dtype)
+    at0_cols = a[:, k0 + 1:]  # static full-height strip for the matvecs
+
+    def col_step(i, carry):
+        a, tau, V, T, Y = carry
+        jc = k0 + i
+        mask = colsW < i
+        Vp = jnp.where(mask, V, jnp.zeros_like(V))
+        Yp = jnp.where(mask, Y, jnp.zeros_like(Y))
+        Tp = jnp.where(mask & (colsW.T < i), T, jnp.zeros_like(T))
+        bcol = jax.lax.dynamic_index_in_dim(a, jc, axis=1, keepdims=False)
+        # right-update correction: (Y V^H)[:, jc] — V's row for global
+        # row jc is local i-1 (zero contribution when i == 0)
+        vrow = jax.lax.dynamic_index_in_dim(
+            Vp, jnp.maximum(i - 1, 0), axis=0, keepdims=False)
+        vrow = jnp.where(i > 0, vrow, jnp.zeros_like(vrow))
+        bcol = bcol - Yp @ jnp.conj(vrow)
+        # left correction on rows k0+1..: b -= V T^H (V^H b)
+        blow = bcol[k0 + 1:]
+        wv = jnp.conj(Vp.T) @ blow
+        wv = jnp.conj(Tp.T) @ wv
+        blow = blow - Vp @ wv
+        v, tj, beta = householder(blow, i, m_loc)
+        tau = tau.at[jc].set(tj)
+        # finalize column jc: corrected head, beta at the subdiagonal,
+        # reflector below
+        full = bcol.at[k0 + 1:].set(blow)
+        vfull = jnp.zeros((M,), a.dtype).at[k0 + 1:].set(v)
+        newcol = jnp.where(rows > jc + 1, vfull, full)
+        newcol = newcol.at[jc + 1].set(beta)
+        a = jax.lax.dynamic_update_index_in_dim(a, newcol[:, None], jc,
+                                                axis=1)
+        # T column (larft recurrence) and Y column = tau (A v - Y V^H v)
+        Vv = jnp.conj(Vp.T) @ v
+        tcol = -tj * (Tp @ Vv)
+        tcol = tcol.at[i].set(tj)
+        T = T.at[:, i].set(tcol)
+        y = tj * (at0_cols @ v - Yp @ Vv)
+        V = V.at[:, i].set(v)
+        Y = Y.at[:, i].set(y)
+        return a, tau, V, T, Y
+
+    a, tau, V, T, Y = jax.lax.fori_loop(0, w, col_step, (a, tau, V, T, Y))
+    return a, tau, V, T, Y
+
+
+@functools.partial(jax.jit, static_argnames=('uplo', 'blocksize'))
+def Hessenberg(uplo: UpperOrLower, A: DistMatrix,
+               blocksize: Optional[int] = None) -> HessenbergFactorization:
     """Reduce to upper Hessenberg form A = Q H Q^H
-    (reference: condense/Hessenberg.cpp; unblocked two-sided sweeps)."""
+    (reference: condense/Hessenberg.cpp). Blocked lahr2-style panels:
+    each column costs one trailing matvec; the deferred two-sided block
+    update is three MXU GEMMs per panel."""
     Am = A.redistribute(MC, MR)
     a = Am.data
     M = a.shape[0]
     m = A.m
-    rowsv = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
-    tau0 = jnp.zeros((M,), a.dtype)
+    nb = blocksize or Blocksize()
+    tau = jnp.zeros((M,), a.dtype)
     ncols = max(m - 2, 0)
+    nblk = (ncols + nb - 1) // nb if ncols else 0
 
-    def step(j, carry):
-        a, tau = carry
-        x = jax.lax.dynamic_index_in_dim(a, j, axis=1, keepdims=False)
-        v, tj, beta = householder(x, j + 1, m)
-        tau = tau.at[j].set(tj)
-        # left: A := H A  (rows j+1.., all cols > j)
-        colsv = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
-        right = colsv > j
-        Amask = jnp.where(right[None, :], a, jnp.zeros_like(a))
-        w = local_gemm(jnp.conj(v)[None, :], Amask)
-        a = a - tj * jnp.outer(v, w[0])
-        # right: A := A H  (all rows, cols j+1..)
-        Av = local_gemm(a, v[:, None])
-        a = a - jnp.conj(tj) * jnp.outer(Av[:, 0], jnp.conj(v))
-        # column j was untouched by both masked applications; repack it:
-        # data rows <= j, beta at the subdiagonal, reflector v below
-        head = jax.lax.dynamic_index_in_dim(a, j, axis=1, keepdims=False)
-        newcol = jnp.where(rowsv > j + 1, v, head)
-        newcol = newcol.at[j + 1].set(beta)
-        a = jax.lax.dynamic_update_index_in_dim(a, newcol[:, None], j, axis=1)
-        return a, tau
+    for b in range(nblk):
+        k0 = b * nb
+        w = min(nb, ncols - k0)
+        a, tau, V, T, Y = _hess_panel(a, tau, k0, w, m)
+        if k0 + w < M:
+            # deferred right update A(:, k0+w:) -= Y V^H (V rows for
+            # those columns start at local w-1)
+            Vr = V[w - 1:]
+            a = jax.lax.dynamic_update_slice(
+                a, a[:, k0 + w:] - local_gemm(Y, jnp.conj(Vr.T)),
+                (0, k0 + w))
+            # deferred left update on rows k0+1.., cols k0+w..
+            Asub = a[k0 + 1:, k0 + w:]
+            Wl = local_gemm(jnp.conj(V.T), Asub)
+            Asub = Asub - local_gemm(V, local_gemm(jnp.conj(T.T), Wl))
+            a = jax.lax.dynamic_update_slice(a, Asub, (k0 + 1, k0 + w))
 
-    a, tau = jax.lax.fori_loop(0, ncols, step, (a, tau0))
     out = Am.with_data(Am.mask_padding(a))
     return HessenbergFactorization(out, tau)
 

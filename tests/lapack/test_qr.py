@@ -123,3 +123,34 @@ def test_qr_under_jit(grid, rng):
     _, rref = np.linalg.qr(a)
     np.testing.assert_allclose(np.abs(np.diag(r)), np.abs(np.diag(rref)),
                                atol=1e-12)
+
+
+def test_panel_fallbacks_match_xla(grid, rng):
+    """The masked two-level loop panels (used when XLA's geqrf/getrf
+    composites are unavailable) must produce valid factorizations."""
+    import jax.numpy as jnp
+    from elementalx.lapack import qr as qrmod
+    from elementalx.lapack import lu as lumod
+    from elementalx.core.dmatrix import pad_array
+
+    n = 96
+    a = rng.standard_normal((n, n))
+    ap = pad_array(jnp.asarray(a), grid)
+    M = ap.shape[0]
+    tau0 = jnp.zeros((ap.shape[1],), ap.dtype)
+    packed, tau = qrmod._panel_qr_loop(ap, tau0, 0, min(32, M), n)
+    packed_x, tau_x = qrmod._panel_qr(ap, tau0, 0, min(32, M), n)
+    # both must yield the same R block up to column signs
+    r_loop = np.triu(np.asarray(packed)[:32, :32])
+    r_xla = np.triu(np.asarray(packed_x)[:32, :32])
+    np.testing.assert_allclose(np.abs(r_loop), np.abs(r_xla),
+                               rtol=1e-10, atol=1e-10)
+
+    perm0 = jnp.arange(M, dtype=jnp.int32)
+    a_lu, perm = lumod._lu_panel_loop(ap, perm0, 0, min(32, M), n)
+    a_xla, perm_x = lumod._lu_panel(ap, perm0, 0, min(32, M), n)
+    # identical pivot choices => identical factors
+    np.testing.assert_allclose(np.asarray(a_lu)[:, :32],
+                               np.asarray(a_xla)[:, :32],
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(perm), np.asarray(perm_x))
