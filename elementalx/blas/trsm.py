@@ -71,38 +71,56 @@ def _prep_triangle(T: jax.Array, m: int, lower: bool, unit: bool) -> jax.Array:
     return T
 
 
+def _batched_diag_inv(T: jax.Array, nb: int, nblk: int, lower: bool
+                      ) -> jax.Array:
+    """Batched inverses of the nb x nb diagonal blocks (MXU, one shot)."""
+    ks = jnp.arange(nblk) * nb
+    blocks = jax.vmap(
+        lambda k0: jax.lax.dynamic_slice(T, (k0, k0), (nb, nb)))(ks)
+    eye = jnp.broadcast_to(jnp.eye(nb, dtype=T.dtype), (nblk, nb, nb))
+    return jax.lax.linalg.triangular_solve(
+        blocks, eye, left_side=True, lower=lower)
+
+
 def _left_solve(T: jax.Array, B: jax.Array, lower: bool, nb: int) -> jax.Array:
     """Solve T X = B for triangular T (already prepped), blocked.
+
+    Recursive halving (exact FLOPs, log-depth shape diversity): split
+    T = [[T11, .], [T21, T22]]; X1 = solve(T11, B1), then
+    X2 = solve(T22, B2 - T21 X1) — every off-diagonal update is one
+    dense MXU matmul over exactly the strictly-lower (upper) part, so
+    total work is the true M^2 N, unlike a full-width fori_loop sweep
+    (2x). Base case = precomputed batched diagonal-block inverses.
     bf16/f16 storage solves through f32 (no low-precision XLA
     TriangularSolve; accumulation wants f32 regardless)."""
     if T.dtype in (jnp.bfloat16, jnp.float16):
         out = _left_solve(T.astype(jnp.float32), B.astype(jnp.float32),
                           lower, nb)
         return out.astype(B.dtype)
-    M, N = T.shape[0], B.shape[1]
-    nb = _pick_nb(M, nb)
+    M = T.shape[0]
+    # cap the block count: the axon tunnel's remote-compile payload
+    # rejects very large unrolled graphs, and >32 sequential base steps
+    # buys no MXU efficiency anyway
+    nb = _pick_nb(M, max(nb, -(-M // 32)))
     nblk = M // nb
+    tri_inv = _batched_diag_inv(T, nb, nblk, lower)
 
-    # batched diagonal-block inverses (MXU, one shot)
-    ks = jnp.arange(nblk) * nb
-    blocks = jax.vmap(
-        lambda k0: jax.lax.dynamic_slice(T, (k0, k0), (nb, nb)))(ks)
-    eye = jnp.broadcast_to(jnp.eye(nb, dtype=T.dtype), (nblk, nb, nb))
-    tri_inv = jax.lax.linalg.triangular_solve(
-        blocks, eye, left_side=True, lower=lower)
+    def rec(k_lo: int, k_hi: int, Bp: jax.Array) -> jax.Array:
+        if k_hi - k_lo == 1:
+            return local_gemm(tri_inv[k_lo], Bp)
+        k_mid = (k_lo + k_hi) // 2
+        lo0, mid0, hi0 = k_lo * nb, k_mid * nb, k_hi * nb
+        if lower:
+            X1 = rec(k_lo, k_mid, Bp[: mid0 - lo0])
+            R2 = Bp[mid0 - lo0:] - local_gemm(T[mid0:hi0, lo0:mid0], X1)
+            X2 = rec(k_mid, k_hi, R2)
+        else:
+            X2 = rec(k_mid, k_hi, Bp[mid0 - lo0:])
+            R1 = Bp[: mid0 - lo0] - local_gemm(T[lo0:mid0, mid0:hi0], X2)
+            X1 = rec(k_lo, k_mid, R1)
+        return jnp.concatenate([X1, X2], axis=0)
 
-    def step(idx, X):
-        k = idx if lower else (nblk - 1 - idx)
-        k0 = k * nb
-        row = jax.lax.dynamic_slice(T, (k0, 0), (nb, M))
-        Bk = jax.lax.dynamic_slice(B, (k0, 0), (nb, N))
-        Rk = Bk - local_gemm(row, X)
-        Xk = local_gemm(jax.lax.dynamic_index_in_dim(tri_inv, k, keepdims=False),
-                        Rk)
-        return jax.lax.dynamic_update_slice(X, Xk, (k0, 0))
-
-    X0 = jnp.zeros_like(B)
-    return jax.lax.fori_loop(0, nblk, step, X0)
+    return rec(0, nblk, B)
 
 
 def _right_solve_adjoint_lower(T: jax.Array, B: jax.Array, nb: int
@@ -117,28 +135,25 @@ def _right_solve_adjoint_lower(T: jax.Array, B: jax.Array, nb: int
                                          B.astype(jnp.float32), nb)
         return out.astype(B.dtype)
     M = T.shape[0]
-    P = B.shape[0]
-    nb = _pick_nb(M, nb)
+    nb = _pick_nb(M, max(nb, -(-M // 32)))
     nblk = M // nb
-    ks = jnp.arange(nblk) * nb
-    blocks = jax.vmap(
-        lambda k0: jax.lax.dynamic_slice(T, (k0, k0), (nb, nb)))(ks)
-    eye = jnp.broadcast_to(jnp.eye(nb, dtype=T.dtype), (nblk, nb, nb))
-    tri_inv = jax.lax.linalg.triangular_solve(
-        blocks, eye, left_side=True, lower=True)
+    tri_inv = _batched_diag_inv(T, nb, nblk, True)
 
-    def step(k, X):
-        k0 = k * nb
-        rowL = jax.lax.dynamic_slice(T, (k0, 0), (nb, M))   # L[k, :]
-        Bk = jax.lax.dynamic_slice(B, (0, k0), (P, nb))
-        # (T^H)[:, k-block] = conj(rowL)^T
-        Rk = Bk - local_gemm(X, jnp.conj(rowL).T)
-        inv_k = jax.lax.dynamic_index_in_dim(tri_inv, k, keepdims=False)
-        Xk = local_gemm(Rk, jnp.conj(inv_k).T)
-        return jax.lax.dynamic_update_slice(X, Xk, (0, k0))
+    # recursive halving on column blocks of X (see _left_solve):
+    # [X1 X2] [[T11,.],[T21,T22]]^H = [B1 B2] =>
+    # X1 = B1 inv(T11)^H;  X2 = (B2 - X1 T21^H) inv(T22)^H
+    def rec(k_lo: int, k_hi: int, Bp: jax.Array) -> jax.Array:
+        if k_hi - k_lo == 1:
+            return local_gemm(Bp, jnp.conj(tri_inv[k_lo]).T)
+        k_mid = (k_lo + k_hi) // 2
+        lo0, mid0, hi0 = k_lo * nb, k_mid * nb, k_hi * nb
+        X1 = rec(k_lo, k_mid, Bp[:, : mid0 - lo0])
+        R2 = Bp[:, mid0 - lo0:] - local_gemm(
+            X1, jnp.conj(T[mid0:hi0, lo0:mid0]).T)
+        X2 = rec(k_mid, k_hi, R2)
+        return jnp.concatenate([X1, X2], axis=1)
 
-    X0 = jnp.zeros_like(B)
-    return jax.lax.fori_loop(0, nblk, step, X0)
+    return rec(0, nblk, B)
 
 
 @functools.partial(jax.jit, static_argnames=('side', 'uplo', 'orientation', 'diag', 'blocksize'))

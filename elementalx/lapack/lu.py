@@ -76,22 +76,19 @@ def _lu_panel(a: jax.Array, perm: jax.Array, k0: int, nb: int, m: int
     rows hold zeros (and 1 on the padding diagonal), so pivot selection
     never prefers them over live rows."""
     M = a.shape[0]
-    sl = jax.lax.dynamic_slice(a, (k0, k0), (M - k0, nb))
+    sl = a[k0:, k0:k0 + nb]
     low = a.dtype in (jnp.bfloat16, jnp.float16)
-    lu, piv, _ = jax.lax.linalg.lu(sl.astype(jnp.float32) if low else sl)
+    lu, piv, lperm = jax.lax.linalg.lu(sl.astype(jnp.float32) if low else sl)
     if low:
         lu = lu.astype(a.dtype)
-
-    def body(j, carry):
-        a, perm = carry
-        jc = k0 + j
-        p = k0 + piv[j]
-        a = _swap_rows(a, jc, p)
-        pi = perm[jc]
-        perm = perm.at[jc].set(perm[p]).at[p].set(pi)
-        return a, perm
-
-    a, perm = jax.lax.fori_loop(0, piv.shape[0], body, (a, perm))
+    # apply the panel's COMPOSED row permutation to rows [k0, M) in one
+    # gather (the replayed swap-by-swap fori_loop was latency-bound:
+    # ~2 sequential row ops per column across the whole factorization)
+    tail = jnp.take(a[k0:, :], lperm, axis=0, indices_are_sorted=False,
+                    unique_indices=True)
+    a = jax.lax.dynamic_update_slice(a, tail, (k0, 0))
+    ptail = jnp.take(perm[k0:], lperm, axis=0, unique_indices=True)
+    perm = jax.lax.dynamic_update_slice(perm, ptail, (k0,))
     a = jax.lax.dynamic_update_slice(a, lu, (k0, k0))
     return a, perm
 
