@@ -71,21 +71,18 @@ def _lu_panel(a: jax.Array, perm: jax.Array, k0: int, nb: int, m: int
     LAPACK on local panels (SURVEY §2.6); the column-sequential pivot
     loop is latency-bound on TPU and XLA's composite runs it ~50x
     faster than an op-by-op fori_loop (measured: ~1 ms per (8192,128)
-    panel vs ~25 us/column). The returned swap sequence is replayed
-    across the full matrix width and the permutation vector. Padding
-    rows hold zeros (and 1 on the padding diagonal), so pivot selection
-    never prefers them over live rows."""
+    panel vs ~25 us/column). The composed local permutation is applied
+    to the full width in one gather. (Used by the conformance test; the
+    LU driver itself keeps rows in physical positions and permutes once
+    at the end — see LU.) Padding rows hold zeros (and 1 on the padding
+    diagonal), so pivot selection never prefers them over live rows."""
     M = a.shape[0]
     sl = a[k0:, k0:k0 + nb]
     low = a.dtype in (jnp.bfloat16, jnp.float16)
     lu, piv, lperm = jax.lax.linalg.lu(sl.astype(jnp.float32) if low else sl)
     if low:
         lu = lu.astype(a.dtype)
-    # apply the panel's COMPOSED row permutation to rows [k0, M) in one
-    # gather (the replayed swap-by-swap fori_loop was latency-bound:
-    # ~2 sequential row ops per column across the whole factorization)
-    tail = jnp.take(a[k0:, :], lperm, axis=0, indices_are_sorted=False,
-                    unique_indices=True)
+    tail = jnp.take(a[k0:, :], lperm, axis=0, unique_indices=True)
     a = jax.lax.dynamic_update_slice(a, tail, (k0, 0))
     ptail = jnp.take(perm[k0:], lperm, axis=0, unique_indices=True)
     perm = jax.lax.dynamic_update_slice(perm, ptail, (k0,))
@@ -194,35 +191,53 @@ def LU(A: DistMatrix, blocksize: Optional[int] = None
 
     rowsv = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
 
-    def panel_step(k, carry):
-        # k0 static (python loop): the U12 solve and trailing update run
-        # on exact static slices — no wasted full-width flops — and the
-        # unit-L11 block is inverted once (partitioned-inverse, pure MXU;
-        # XLA's TriangularSolve lowers to slow substitution on TPU)
-        a, perm = carry
+    # Rows stay in their PHYSICAL (original) positions for the whole
+    # factorization — no trailing-matrix row movement at all. `rowmap`
+    # tracks logical->physical order; each panel is gathered into
+    # logical order, factored by XLA's native getrf, and scattered back;
+    # the trailing update subtracts a physically-scattered L21 (zero
+    # rows for already-pivoted positions) with one full-height MXU
+    # matmul. A single global row gather at the end produces the packed
+    # pivoted layout. Rationale: permuting the trailing block each panel
+    # (either swap-by-swap or as composed gathers) was measured at
+    # 89.7-122 ms for n=8192 f32 — the unfused (M-k0) x rest gathers /
+    # latency-bound row swaps dominate; this scheme moves only panel
+    # columns (O(M nb) per panel) and accepts ~1.5x trailing-matmul
+    # FLOPs from full-height updates.
+    low = a.dtype in (jnp.bfloat16, jnp.float16)
+    rowmap = perm0
+    N = a.shape[1]
+    for k in range(nblk):
         k0 = k * nb
-        a, perm = _lu_panel(a, perm, k0, nb, m)
-        rest = a.shape[1] - k0 - nb
+        tail = rowmap[k0:]
+        cols = a[:, k0:k0 + nb]
+        sl = jnp.take(cols, tail, axis=0, unique_indices=True)
+        lu, piv, lperm = jax.lax.linalg.lu(
+            sl.astype(jnp.float32) if low else sl)
+        if low:
+            lu = lu.astype(a.dtype)
+        tail = jnp.take(tail, lperm, axis=0, unique_indices=True)
+        rowmap = jax.lax.dynamic_update_slice(rowmap, tail, (k0,))
+        cols = cols.at[tail].set(lu, unique_indices=True)
+        a = jax.lax.dynamic_update_slice(a, cols, (0, k0))
+        rest = N - k0 - nb
         if rest <= 0:
-            return a, perm
-        L11 = a[k0:k0 + nb, k0:k0 + nb]
+            continue
+        L11 = lu[:nb, :]
         inv11 = jax.lax.linalg.triangular_solve(
             L11, jnp.eye(nb, dtype=a.dtype), left_side=True, lower=True,
             unit_diagonal=True)
-        Arow = a[k0:k0 + nb, k0 + nb:]
+        right = a[:, k0 + nb:]
+        prow = tail[:nb]
+        Arow = jnp.take(right, prow, axis=0, unique_indices=True)
         U12 = local_gemm(inv11, Arow)
-        a = jax.lax.dynamic_update_slice(a, U12, (k0, k0 + nb))
-        L21 = a[k0 + nb:, k0:k0 + nb]
-        A22 = a[k0 + nb:, k0 + nb:]
-        a = jax.lax.dynamic_update_slice(
-            a, A22 - local_gemm(L21, U12), (k0 + nb, k0 + nb))
-        return a, perm
-
-    # python loop: k0 must be static for the panel's row-slice shapes
-    carry = (a, perm0)
-    for k in range(nblk):
-        carry = panel_step(k, carry)
-    a, perm = carry
+        right = right.at[prow].set(U12, unique_indices=True)
+        Lphys = jnp.zeros((M, nb), a.dtype).at[tail[nb:]].set(
+            lu[nb:, :], unique_indices=True)
+        right = right - local_gemm(Lphys, U12)
+        a = jax.lax.dynamic_update_slice(a, right, (0, k0 + nb))
+    a = jnp.take(a, rowmap, axis=0, unique_indices=True)
+    perm = rowmap
     # restore zero padding diagonal
     a = jnp.where((i2 == j2) & (i2 >= m), jnp.zeros((), a.dtype), a)
     out = Am.with_data(Am.mask_padding(a))
