@@ -45,7 +45,9 @@ def main():
     platform = devs[0].platform.lower()
     on_tpu = platform in ("tpu", "axon")
 
-    n = 8192 if on_tpu else 512
+    # N=16384 matches the BASELINE.md bar ("N >= 16384"); measured 190
+    # TF/s (96% of v5e bf16 peak) vs 185.8 at N=8192
+    n = 16384 if on_tpu else 512
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     k1, k2 = 2, (22 if on_tpu else 6)
 

@@ -82,7 +82,8 @@ def _batched_diag_inv(T: jax.Array, nb: int, nblk: int, lower: bool
         blocks, eye, left_side=True, lower=lower)
 
 
-def _left_solve(T: jax.Array, B: jax.Array, lower: bool, nb: int) -> jax.Array:
+def _left_solve(T: jax.Array, B: jax.Array, lower: bool, nb: int,
+                precision=None) -> jax.Array:
     """Solve T X = B for triangular T (already prepped), blocked.
 
     Recursive halving (exact FLOPs, log-depth shape diversity): split
@@ -92,10 +93,12 @@ def _left_solve(T: jax.Array, B: jax.Array, lower: bool, nb: int) -> jax.Array:
     total work is the true M^2 N, unlike a full-width fori_loop sweep
     (2x). Base case = precomputed batched diagonal-block inverses.
     bf16/f16 storage solves through f32 (no low-precision XLA
-    TriangularSolve; accumulation wants f32 regardless)."""
+    TriangularSolve) but runs its matmuls single-pass on the MXU
+    (`precision=DEFAULT`): accumulation stays f32 while the operand
+    truncation matches the bf16 storage accuracy already accepted."""
     if T.dtype in (jnp.bfloat16, jnp.float16):
         out = _left_solve(T.astype(jnp.float32), B.astype(jnp.float32),
-                          lower, nb)
+                          lower, nb, precision=jax.lax.Precision.DEFAULT)
         return out.astype(B.dtype)
     M = T.shape[0]
     # cap the block count: the axon tunnel's remote-compile payload
@@ -107,32 +110,35 @@ def _left_solve(T: jax.Array, B: jax.Array, lower: bool, nb: int) -> jax.Array:
 
     def rec(k_lo: int, k_hi: int, Bp: jax.Array) -> jax.Array:
         if k_hi - k_lo == 1:
-            return local_gemm(tri_inv[k_lo], Bp)
+            return local_gemm(tri_inv[k_lo], Bp, precision=precision)
         k_mid = (k_lo + k_hi) // 2
         lo0, mid0, hi0 = k_lo * nb, k_mid * nb, k_hi * nb
         if lower:
             X1 = rec(k_lo, k_mid, Bp[: mid0 - lo0])
-            R2 = Bp[mid0 - lo0:] - local_gemm(T[mid0:hi0, lo0:mid0], X1)
+            R2 = Bp[mid0 - lo0:] - local_gemm(T[mid0:hi0, lo0:mid0], X1,
+                                              precision=precision)
             X2 = rec(k_mid, k_hi, R2)
         else:
             X2 = rec(k_mid, k_hi, Bp[mid0 - lo0:])
-            R1 = Bp[: mid0 - lo0] - local_gemm(T[lo0:mid0, mid0:hi0], X2)
+            R1 = Bp[: mid0 - lo0] - local_gemm(T[lo0:mid0, mid0:hi0], X2,
+                                               precision=precision)
             X1 = rec(k_lo, k_mid, R1)
         return jnp.concatenate([X1, X2], axis=0)
 
     return rec(0, nblk, B)
 
 
-def _right_solve_adjoint_lower(T: jax.Array, B: jax.Array, nb: int
-                               ) -> jax.Array:
+def _right_solve_adjoint_lower(T: jax.Array, B: jax.Array, nb: int,
+                               precision=None) -> jax.Array:
     """Solve X T^H = B for lower-triangular T (already prepped), i.e. a
     RIGHT solve against the upper-triangular T^H, without materialising
     any transpose of T or B: blocked partitioned-inverse substitution
     with each step one (P, M) @ (M, nb) MXU matmul. Used by the Cholesky
     recursion's L21 = A21 inv(L11)^H panels."""
     if T.dtype in (jnp.bfloat16, jnp.float16):
-        out = _right_solve_adjoint_lower(T.astype(jnp.float32),
-                                         B.astype(jnp.float32), nb)
+        out = _right_solve_adjoint_lower(
+            T.astype(jnp.float32), B.astype(jnp.float32), nb,
+            precision=jax.lax.Precision.DEFAULT)
         return out.astype(B.dtype)
     M = T.shape[0]
     nb = _pick_nb(M, max(nb, -(-M // 32)))
@@ -144,12 +150,13 @@ def _right_solve_adjoint_lower(T: jax.Array, B: jax.Array, nb: int
     # X1 = B1 inv(T11)^H;  X2 = (B2 - X1 T21^H) inv(T22)^H
     def rec(k_lo: int, k_hi: int, Bp: jax.Array) -> jax.Array:
         if k_hi - k_lo == 1:
-            return local_gemm(Bp, jnp.conj(tri_inv[k_lo]).T)
+            return local_gemm(Bp, jnp.conj(tri_inv[k_lo]).T,
+                              precision=precision)
         k_mid = (k_lo + k_hi) // 2
         lo0, mid0, hi0 = k_lo * nb, k_mid * nb, k_hi * nb
         X1 = rec(k_lo, k_mid, Bp[:, : mid0 - lo0])
         R2 = Bp[:, mid0 - lo0:] - local_gemm(
-            X1, jnp.conj(T[mid0:hi0, lo0:mid0]).T)
+            X1, jnp.conj(T[mid0:hi0, lo0:mid0]).T, precision=precision)
         X2 = rec(k_mid, k_hi, R2)
         return jnp.concatenate([X1, X2], axis=1)
 

@@ -46,10 +46,13 @@ from ..blas.level1 import MakeHermitian, MakeTrapezoidal
 from ..blas.trsm import Trsm
 
 
-def _chol_lower_rec(a: jax.Array, nb: int) -> jax.Array:
+def _chol_lower_rec(a: jax.Array, nb: int, precision=None) -> jax.Array:
     """Recursive lower Cholesky of a padded Hermitian array whose padding
     diagonal is 1. Static shapes throughout; only the lower triangle of
-    `a` is read (trailing updates keep garbage above the diagonal)."""
+    `a` is read (trailing updates keep garbage above the diagonal).
+    `precision` governs the MXU matmuls of the trsm panels and trailing
+    updates (DEFAULT = single-pass bf16 with f32 accumulation for
+    bf16-storage inputs; None = library default, full f32)."""
     n = a.shape[0]
     if n <= nb:
         # symmetrize_input=False: the upper triangle holds garbage from
@@ -61,7 +64,7 @@ def _chol_lower_rec(a: jax.Array, nb: int) -> jax.Array:
     a11 = a[:h, :h]
     a21 = a[h:, :h]
     a22 = a[h:, h:]
-    l11 = _chol_lower_rec(a11, nb)
+    l11 = _chol_lower_rec(a11, nb, precision)
     # L21 = A21 inv(L11)^H — partitioned-inverse blocked substitution
     # (pure MXU matmuls; XLA's TriangularSolve lowers to a slow
     # scalar-ish substitution on TPU)
@@ -70,9 +73,9 @@ def _chol_lower_rec(a: jax.Array, nb: int) -> jax.Array:
     # full-square rank-k update: a lower-triangle-only blocked form was
     # measured SLOWER on-chip (24.6 ms vs 17.3 ms at n=8192) — splitting
     # the big MXU matmul costs more than the halved FLOPs save
-    l21 = _right_solve_adjoint_lower(l11, a21, nb)
-    a22u = a22 - local_gemm(l21, jnp.conj(l21.T))
-    l22 = _chol_lower_rec(a22u, nb)
+    l21 = _right_solve_adjoint_lower(l11, a21, nb, precision=precision)
+    a22u = a22 - local_gemm(l21, jnp.conj(l21.T), precision=precision)
+    l22 = _chol_lower_rec(a22u, nb, precision)
     top = jnp.concatenate([l11, jnp.zeros((h, n - h), a.dtype)], axis=1)
     bot = jnp.concatenate([l21, l22], axis=1)
     return jnp.concatenate([top, bot], axis=0)
@@ -103,19 +106,24 @@ def _cholesky_jit(uplo: UpperOrLower, A: DistMatrix,
     if A.m != A.n:
         raise ValueError("Cholesky requires a square matrix")
     nb = blocksize or Blocksize()
+    low_store = A.dtype in (jnp.bfloat16, jnp.float16)
     if blocksize is None and A.grid.size == 1:
         # larger base cases keep more of the work inside XLA's native
-        # cholesky composite on a single chip (measured knee ~1024 on
-        # v5e: 20.7 ms -> 16.0 ms at n=8192, PERF.md)
-        nb = max(nb, 1024)
+        # cholesky composite on a single chip. Measured knees on v5e
+        # (PERF.md): f32-HIGHEST wants 2048 (13.8 ms at n=8192);
+        # bf16 single-pass updates want 1024 (4.4 ms at n=8192)
+        nb = max(nb, 1024 if low_store else 2048)
     d = _prep_hpd(A, uplo)
     # low-precision storage factors through f32 (XLA's Cholesky/
     # TriangularSolve have no bf16/f16 kernels; accumulation wants f32
-    # anyway), result demoted back
+    # anyway), result demoted back; its matmuls run single-pass on the
+    # MXU (DEFAULT) — operand truncation to bf16 matches the storage
+    # accuracy already accepted, at ~6x the f32-HIGHEST matmul rate
     low = d.dtype in (jnp.bfloat16, jnp.float16)
+    prec = jax.lax.Precision.DEFAULT if low else None
     if low:
         d = d.astype(jnp.float32)
-    L = _chol_lower_rec(d, nb)
+    L = _chol_lower_rec(d, nb, prec)
     if low:
         L = L.astype(A.dtype)
     L = _strip_pad_diag(L, A.m)
