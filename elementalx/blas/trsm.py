@@ -73,13 +73,16 @@ def _prep_triangle(T: jax.Array, m: int, lower: bool, unit: bool) -> jax.Array:
 
 def _batched_diag_inv(T: jax.Array, nb: int, nblk: int, lower: bool
                       ) -> jax.Array:
-    """Batched inverses of the nb x nb diagonal blocks (MXU, one shot)."""
+    """Batched inverses of the nb x nb diagonal blocks: log-depth
+    batched partitioned inversion (blas/trinv.py) instead of XLA's
+    substitution-lowered TriangularSolve."""
+    from .trinv import tri_inv_lower, tri_inv_upper
+
     ks = jnp.arange(nblk) * nb
     blocks = jax.vmap(
         lambda k0: jax.lax.dynamic_slice(T, (k0, k0), (nb, nb)))(ks)
-    eye = jnp.broadcast_to(jnp.eye(nb, dtype=T.dtype), (nblk, nb, nb))
-    return jax.lax.linalg.triangular_solve(
-        blocks, eye, left_side=True, lower=lower)
+    inv = tri_inv_lower if lower else tri_inv_upper
+    return jax.vmap(inv)(blocks)
 
 
 def _left_solve(T: jax.Array, B: jax.Array, lower: bool, nb: int,

@@ -57,11 +57,15 @@ def _ldl_rec(a: jax.Array, nb: int, conjugate: bool) -> jax.Array:
     a11, a21, a22 = a[:h, :h], a[h:, :h], a[h:, h:]
     f11 = _ldl_rec(a11, nb, conjugate)
     d1 = jnp.diagonal(f11)
-    # L21 = A21 L11^{-H} D1^{-1}
+    # L21 = A21 L11^{-H} D1^{-1} — partitioned-inverse blocked solve
+    # (pure MXU; XLA's TriangularSolve lowers to slow substitution).
+    # _right_solve_adjoint_lower solves X T^H = B; for the symmetric
+    # (non-conjugated) case pass conj(T) so that conj(T)^H = T^T.
+    from ..blas.trsm import _right_solve_adjoint_lower
+
     l1 = jnp.tril(f11, -1) + jnp.eye(h, dtype=a.dtype)
-    x = jax.lax.linalg.triangular_solve(
-        l1, a21, left_side=False, lower=True,
-        transpose_a=True, conjugate_a=conjugate)
+    x = _right_solve_adjoint_lower(
+        l1 if conjugate else jnp.conj(l1), a21, nb)
     safe_d = jnp.where(d1 == 0, jnp.ones((), d1.dtype), d1)
     l21 = x / safe_d[None, :]
     a22u = a22 - local_gemm(l21 * d1[None, :], tr(l21))

@@ -38,6 +38,7 @@ from ..core.types import (
     UPPER,
 )
 from ..blas.gemm import local_gemm
+from ..blas.trinv import tri_inv_lower_unit
 from ..blas.trsm import Trsm
 from .perm import Permutation
 
@@ -179,6 +180,11 @@ def LU(A: DistMatrix, blocksize: Optional[int] = None
     M = a.shape[0]
     m = min(A.m, A.n)
     nb = blocksize or Blocksize()
+    if blocksize is None and A.grid.size == 1 and M >= 2048:
+        # measured on v5e (PERF.md): each panel iteration carries ~1 ms
+        # of fixed gather/scatter cost, so wide panels win on one chip
+        # (8192 f32: 84.6 ms at nb=128 -> 63.6 ms at nb=512)
+        nb = max(nb, 512)
     nb = max(1, min(nb, M))
     while M % nb != 0:
         nb -= 1
@@ -224,9 +230,9 @@ def LU(A: DistMatrix, blocksize: Optional[int] = None
         if rest <= 0:
             continue
         L11 = lu[:nb, :]
-        inv11 = jax.lax.linalg.triangular_solve(
-            L11, jnp.eye(nb, dtype=a.dtype), left_side=True, lower=True,
-            unit_diagonal=True)
+        # batched log-depth inversion (blas/trinv.py): XLA's
+        # TriangularSolve substitution cost ~0.5-1 ms per panel here
+        inv11 = tri_inv_lower_unit(L11)
         right = a[:, k0 + nb:]
         prow = tail[:nb]
         Arow = jnp.take(right, prow, axis=0, unique_indices=True)

@@ -170,6 +170,11 @@ def QR(A: DistMatrix, blocksize: Optional[int] = None) -> QRFactorization:
     """Householder QR of an m x n matrix (reference: QR.cpp driver)."""
     Am = A.redistribute(MC, MR)
     nb = blocksize or Blocksize()
+    if blocksize is None and A.grid.size == 1 and min(A.m, A.n) >= 2048:
+        # v5e measurement (PERF.md): 8192 f32 43.8 ms at nb=256 vs
+        # 49.8 ms at nb=128 (geqrf panels are cheap; per-panel fixed
+        # costs favour wider blocks on one chip)
+        nb = max(nb, 256)
     a, tau = _qr_packed(Am.data, A.m, A.n, nb)
     return QRFactorization(Am.with_data(Am.mask_padding(a)), tau)
 
