@@ -52,6 +52,46 @@ def _swap_rows(a: jax.Array, i, j) -> jax.Array:
 
 _LU_PANEL_BASE = 16
 
+_SLAB_INNER = 128
+
+
+def _lu_slab(sl: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Pivoted LU of a tall slab (Mt x w), equivalent to
+    ``lu, _, lperm = jax.lax.linalg.lu(sl)`` but built from 128-wide
+    XLA-native getrf sub-panels with slab-confined trailing updates.
+
+    Rationale (PERF.md): XLA's LuDecomposition expander is fast at
+    width <= 128 (~0.04 ms for 8192x128 — its vectorized base case) but
+    pays ~2 ms of internal substitution machinery at width 512; this
+    two-level scheme reaches ~3x cheaper wide panels. Returns the
+    packed slab factor (rows in pivoted order) and the composed row
+    permutation ``lperm`` (logical -> original slab row)."""
+    Mt, w = sl.shape
+    ib = _SLAB_INNER
+    if w <= ib or w % ib != 0:
+        lu, _, lperm = jax.lax.linalg.lu(sl)
+        return lu, lperm
+    rm = jnp.arange(Mt, dtype=jnp.int32)
+    for t in range(w // ib):
+        j0 = t * ib
+        sub = sl[j0:, j0:j0 + ib]
+        lu, _, lp = jax.lax.linalg.lu(sub)
+        # physically reorder the slab tail (small: Mt x w) and record
+        tail = jnp.take(sl[j0:, :], lp, axis=0, unique_indices=True)
+        sl = jax.lax.dynamic_update_slice(sl, tail, (j0, 0))
+        rm = jax.lax.dynamic_update_slice(
+            rm, jnp.take(rm[j0:], lp, axis=0, unique_indices=True), (j0,))
+        sl = jax.lax.dynamic_update_slice(sl, lu, (j0, j0))
+        rest = w - j0 - ib
+        if rest <= 0:
+            continue
+        inv11 = tri_inv_lower_unit(lu[:ib, :])
+        U12 = local_gemm(inv11, sl[j0:j0 + ib, j0 + ib:])
+        sl = jax.lax.dynamic_update_slice(sl, U12, (j0, j0 + ib))
+        A22 = sl[j0 + ib:, j0 + ib:] - local_gemm(lu[ib:, :], U12)
+        sl = jax.lax.dynamic_update_slice(sl, A22, (j0 + ib, j0 + ib))
+    return sl, rm
+
 
 def _apply_pivots(blk: jax.Array, pivots: jax.Array, k0j: int, w: int
                   ) -> jax.Array:
@@ -218,8 +258,7 @@ def LU(A: DistMatrix, blocksize: Optional[int] = None
         tail = rowmap[k0:]
         cols = a[:, k0:k0 + nb]
         sl = jnp.take(cols, tail, axis=0, unique_indices=True)
-        lu, piv, lperm = jax.lax.linalg.lu(
-            sl.astype(jnp.float32) if low else sl)
+        lu, lperm = _lu_slab(sl.astype(jnp.float32) if low else sl)
         if low:
             lu = lu.astype(a.dtype)
         tail = jnp.take(tail, lperm, axis=0, unique_indices=True)

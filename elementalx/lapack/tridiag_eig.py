@@ -48,7 +48,11 @@ def _sturm_count(d: jax.Array, e: jax.Array, lam: jax.Array) -> jax.Array:
 
     q0 = jnp.ones_like(lam)
     cnt0 = jnp.zeros(lam.shape, jnp.int32)
-    (q, cnt), _ = jax.lax.scan(body, (q0, cnt0), (d, e2))
+    # unroll: each scan step is a handful of cheap vector ops whose
+    # ~us-level dispatch latency dominates an n-step sequential scan on
+    # TPU; fusing 64 recurrence steps per compiled loop body cuts the
+    # bisection stage ~an order of magnitude (PERF.md)
+    (q, cnt), _ = jax.lax.scan(body, (q0, cnt0), (d, e2), unroll=64)
     return cnt
 
 
@@ -107,7 +111,8 @@ def _solve_shifted(d: jax.Array, e: jax.Array, lam: jax.Array,
         return ui, (ui, li)
 
     e_in = jnp.concatenate([jnp.zeros((1,), d.dtype), e])
-    _, (u, l) = jax.lax.scan(fwd, jnp.ones((), d.dtype), (dd, e_in))
+    _, (u, l) = jax.lax.scan(fwd, jnp.ones((), d.dtype), (dd, e_in),
+                             unroll=64)
     # but the very first u must be dd[0]:
     u = u.at[0].set(dd[0])
 
@@ -117,7 +122,7 @@ def _solve_shifted(d: jax.Array, e: jax.Array, lam: jax.Array,
         yi = bi - li * y_prev
         return yi, yi
 
-    _, y = jax.lax.scan(fsub, jnp.zeros((), b.dtype), (b, l))
+    _, y = jax.lax.scan(fsub, jnp.zeros((), b.dtype), (b, l), unroll=64)
 
     # back substitution U x = y (u x_i + e_i x_{i+1} = y_i)
     e_out = jnp.concatenate([e, jnp.zeros((1,), d.dtype)])
@@ -129,7 +134,7 @@ def _solve_shifted(d: jax.Array, e: jax.Array, lam: jax.Array,
         return xi, xi
 
     _, xr = jax.lax.scan(bsub, jnp.zeros((), b.dtype),
-                         (y[::-1], u[::-1], e_out[::-1]))
+                         (y[::-1], u[::-1], e_out[::-1]), unroll=64)
     return xr[::-1]
 
 
@@ -209,7 +214,10 @@ def tridiag_eig(d: jax.Array, e: jax.Array, invit_steps: int = 3,
             return jax.lax.dynamic_update_index_in_dim(
                 Z, zj[:, None], j, axis=1)
 
-        return jax.lax.fori_loop(0, n, col, Z)
+        # unroll: ~8 small window ops per column; fusing columns
+        # amortizes per-step dispatch latency (the window recurrence
+        # stays sequential — unroll preserves loop semantics)
+        return jax.lax.fori_loop(0, n, col, Z, unroll=8)
 
     for _ in range(ortho_passes):
         Z = mgs_pass(Z)
