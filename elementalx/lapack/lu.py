@@ -223,8 +223,9 @@ def LU(A: DistMatrix, blocksize: Optional[int] = None
     if blocksize is None and A.grid.size == 1 and M >= 2048:
         # measured on v5e (PERF.md): each panel iteration carries ~1 ms
         # of fixed gather/scatter cost, so wide panels win on one chip
-        # (8192 f32: 84.6 ms at nb=128 -> 63.6 ms at nb=512)
-        nb = max(nb, 512)
+        # (8192 f32: 84.6 ms at nb=128 -> 59.0 ms at nb=1024 with the
+        # two-level _lu_slab panel)
+        nb = max(nb, 1024)
     nb = max(1, min(nb, M))
     while M % nb != 0:
         nb -= 1

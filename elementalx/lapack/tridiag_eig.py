@@ -64,28 +64,45 @@ def _gershgorin(d: jax.Array, e: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return jnp.min(d - r), jnp.max(d + r)
 
 
+_SECT = 8  # interval subdivisions per iteration (3 bits/step)
+
+
 @functools.partial(jax.jit, static_argnames=('iters',))
 def tridiag_eigvalsh(d: jax.Array, e: jax.Array, iters: int = 0
                      ) -> jax.Array:
     """All eigenvalues of the symmetric tridiagonal (d, e), ascending, by
-    vmapped bisection on the Sturm count."""
+    vmapped multisection on the Sturm count.
+
+    Octsection instead of bisection: each iteration probes the 7
+    interior points of every eigenvalue's bracket with ONE batched
+    Sturm scan over 7n shifts (the scan cost is per-STEP dispatch
+    latency, near-independent of the batch width on the VPU), gaining
+    3 bits per iteration — 14 iterations reach f32 Gershgorin-relative
+    accuracy where plain bisection needed 40 (259 ms -> ~100 ms at
+    n=8192, PERF.md)."""
     n = d.shape[0]
+    S = _SECT
     lo, hi = _gershgorin(d, e)
     span = jnp.maximum(hi - lo, jnp.finfo(d.dtype).tiny)
     lo = lo - 1e-3 * span - 1e-30
     hi = hi + 1e-3 * span + 1e-30
-    its = iters or (70 if d.dtype == jnp.float64 else 40)
+    # bits needed: interval shrinks S^its; match the old 40/70 bisection
+    # bits plus one extra iteration of margin
+    bits = 70 if d.dtype == jnp.float64 else 40
+    its = iters or (-(-bits // 3) + 1)
     ks = jnp.arange(n, dtype=jnp.int32)
     los = jnp.full((n,), lo)
     his = jnp.full((n,), hi)
+    fr = (jnp.arange(1, S, dtype=d.dtype) / S)[:, None]  # (S-1, 1)
 
     def body(_, carry):
         los, his = carry
-        mid = 0.5 * (los + his)
-        cnt = _sturm_count(d, e, mid)
-        below = cnt <= ks  # eigenvalue k is above mid
-        los = jnp.where(below, mid, los)
-        his = jnp.where(below, his, mid)
+        pts = los[None, :] + fr * (his - los)[None, :]     # (S-1, n)
+        cnt = _sturm_count(d, e, pts.reshape(-1)).reshape(S - 1, n)
+        above = cnt <= ks[None, :]  # eigenvalue k lies above this point
+        # tightest bracket: highest probe below, lowest probe above
+        los = jnp.max(jnp.where(above, pts, los[None, :]), axis=0)
+        his = jnp.min(jnp.where(above, his[None, :], pts), axis=0)
         return los, his
 
     los, his = jax.lax.fori_loop(0, its, body, (los, his))
@@ -139,7 +156,7 @@ def _solve_shifted(d: jax.Array, e: jax.Array, lam: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=('invit_steps', 'ortho_window', 'ortho_passes'))
-def tridiag_eig(d: jax.Array, e: jax.Array, invit_steps: int = 3,
+def tridiag_eig(d: jax.Array, e: jax.Array, invit_steps: int = 2,
                 ortho_window: int = 8, ortho_passes: int = 2
                 ) -> Tuple[jax.Array, jax.Array]:
     """(w, Z): full eigendecomposition of the symmetric tridiagonal.
