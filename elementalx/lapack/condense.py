@@ -43,14 +43,18 @@ class TridiagFactorization(NamedTuple):
     phase: jax.Array
 
 
-def _tridiag_panel(at0, at, V, W, tau, k0, nb, m_loc):
-    """latrd-style panel on the TRAILING block: ``at``/``at0`` are the
+def _tridiag_panel(a0, at, V, W, tau, k0, nb, m_loc):
+    """latrd-style panel on the TRAILING block: ``at`` is the
     (M-k0, M-k0) trailing slice (local indices; the panel columns are
-    local 0..nb); the trailing matrix is at0 - V W^H - W V^H with the
-    stored V/W (masked by column). Confining the per-column Hermitian
-    matvec — the reduction's HBM bound — to the trailing block cuts the
-    total matvec traffic from n*n^2 to ~n^3/3 (PERF.md). ``tau`` stays
-    globally indexed (offset k0)."""
+    local 0..nb); the trailing matrix is a0[k0:, k0:] - V W^H - W V^H
+    with the stored V/W (masked by column). Confining the per-column
+    Hermitian matvec — the reduction's HBM bound — to the trailing
+    block cuts the total matvec traffic from n*n^2 to ~n^3/3 (PERF.md);
+    this is the algorithm's bandwidth roofline. (A Pallas lower-triangle
+    symv, kernels/symv.py, halves the theoretical traffic but measured
+    2.4x SLOWER at this per-column grain — ~8k kernel launches of 36
+    grid steps each; kept as a library primitive only.) ``a0`` is the
+    FULL frozen array; ``tau`` stays globally indexed."""
     Mt = at.shape[0]
     rows = jax.lax.broadcasted_iota(jnp.int32, (Mt,), 0)
     colsM = jax.lax.broadcasted_iota(jnp.int32, (Mt, V.shape[1]), 1)
@@ -76,7 +80,7 @@ def _tridiag_panel(at0, at, V, W, tau, k0, nb, m_loc):
                                                  axis=1)
         # w = tau A_cur v - (|tau|^2/2)(v^H A_cur v) v  — the exact rank-2
         # form of the unitary similarity H^H A H with complex tau
-        Av = at0 @ v
+        Av = a0[k0:, k0:] @ v
         p = tj * (Av - Vp @ (jnp.conj(Wp.T) @ v) - Wp @ (jnp.conj(Vp.T) @ v))
         w = p - (jnp.conj(tj) * 0.5 * jnp.vdot(v, p)) * v
         V = V.at[:, j].set(v)
@@ -113,10 +117,9 @@ def HermitianTridiag(uplo: UpperOrLower, A: DistMatrix,
         w = min(nb, ncols - k0)
         at = a[k0:, k0:]
         Mt = at.shape[0]
-        at0 = at  # frozen copy for panel matvecs
         V = jnp.zeros((Mt, w), a.dtype)
         W = jnp.zeros((Mt, w), a.dtype)
-        at, V, W, tau = _tridiag_panel(at0, at, V, W, tau, k0, w, m - k0)
+        at, V, W, tau = _tridiag_panel(a, at, V, W, tau, k0, w, m - k0)
         # two-sided trailing update: only touches local columns >= w
         colsN = jax.lax.broadcasted_iota(jnp.int32, at.shape, 1)
         upd = local_gemm(V, jnp.conj(W.T)) + local_gemm(W, jnp.conj(V.T))
