@@ -20,10 +20,12 @@ import jax.numpy as jnp
 from ..core.dmatrix import DistMatrix, check_same_grid, pad_array
 from ..core.types import (
     Dist,
+    LEFT,
     LOWER,
     MC,
     MD,
     MR,
+    RIGHT,
     STAR,
     UPPER,
     UpperOrLower,
@@ -434,3 +436,250 @@ def ColumnMaxNorms(A: DistMatrix) -> jax.Array:
 def Trace(A: DistMatrix) -> jax.Array:
     """Reference: props/Trace.cpp (sum of the diagonal; padding diag is 0)."""
     return jnp.trace(A.data)
+
+
+# -- remaining level-1 surface (completing the reference header census) -----
+
+
+def AxpyTrapezoid(uplo: UpperOrLower, alpha: Scalar, X: DistMatrix,
+                  Y: DistMatrix, offset: int = 0) -> DistMatrix:
+    """Y += alpha * trapezoid(X) (reference: level1/AxpyTrapezoid.hpp)."""
+    check_same_grid(X, Y)
+    Xt = MakeTrapezoidal(uplo, X, offset)
+    return _like(Y, Y.data + jnp.asarray(alpha, Y.dtype) *
+                 Xt.data.astype(Y.dtype))
+
+
+def TransposeAxpy(alpha: Scalar, X: DistMatrix, Y: DistMatrix,
+                  conjugate: bool = False) -> DistMatrix:
+    """Y += alpha X^T (or X^H) (reference: level1/TransposeAxpy.hpp)."""
+    return Axpy(alpha, Transpose(X, conjugate=conjugate), Y)
+
+
+def Concatenate(A: DistMatrix, B: DistMatrix, axis: int = 1) -> DistMatrix:
+    """[A, B] (axis=1) or [A; B] (axis=0) (reference:
+    level1/Concatenate.hpp HCat/VCat)."""
+    g = check_same_grid(A, B)
+    if axis == 1:
+        if A.m != B.m:
+            raise ValueError("HCat requires equal heights")
+        glob = jnp.concatenate(
+            [A.data[:, :A.n], B.data[:, :B.n]], axis=1)
+        m, n = A.m, A.n + B.n
+        glob = glob[:A.m]
+    else:
+        if A.n != B.n:
+            raise ValueError("VCat requires equal widths")
+        glob = jnp.concatenate([A.data[:A.m], B.data[:B.m]], axis=0)
+        m, n = A.m + B.m, A.n
+        glob = glob[:, :A.n]
+    return DistMatrix.from_global(glob, A.col_dist, A.row_dist, g)
+
+
+def Reshape(m: int, n: int, A: DistMatrix) -> DistMatrix:
+    """Column-major reshape to m x n (reference: level1/Reshape.hpp —
+    El matrices are column-major, so reshape runs down columns first)."""
+    if m * n != A.m * A.n:
+        raise ValueError("Reshape size mismatch")
+    flat = A.data[:A.m, :A.n].T.reshape(-1)  # column-major order
+    glob = flat.reshape(n, m).T
+    return DistMatrix.from_global(glob, A.col_dist, A.row_dist, A.grid)
+
+
+def ConjugateDiagonal(A: DistMatrix, offset: int = 0) -> DistMatrix:
+    """Conjugate the offset diagonal in place (reference:
+    level1/ConjugateDiagonal.hpp)."""
+    i, j = _iota_masks(A)
+    on = (j - i) == offset
+    return _like(A, jnp.where(on, jnp.conj(A.data), A.data))
+
+
+def MakeDiagonalReal(A: DistMatrix, offset: int = 0) -> DistMatrix:
+    """Zero the imaginary part of the offset diagonal (reference:
+    level1/MakeDiagonalReal.hpp)."""
+    if not jnp.iscomplexobj(A.data):
+        return A
+    i, j = _iota_masks(A)
+    on = (j - i) == offset
+    return _like(A, jnp.where(on, jnp.real(A.data).astype(A.dtype), A.data))
+
+
+def ConjugateSubmatrix(A: DistMatrix, I: slice, J: slice) -> DistMatrix:
+    """Conjugate A[I, J] in place (reference:
+    level1/ConjugateSubmatrix.hpp)."""
+    i, j = _iota_masks(A)
+    inI = (i >= (I.start or 0)) & (i < I.stop)
+    inJ = (j >= (J.start or 0)) & (j < J.stop)
+    return _like(A, jnp.where(inI & inJ, jnp.conj(A.data), A.data))
+
+
+def MakeSubmatrixReal(A: DistMatrix, I: slice, J: slice) -> DistMatrix:
+    """Drop the imaginary part of A[I, J] (reference:
+    level1/MakeSubmatrixReal.hpp)."""
+    if not jnp.iscomplexobj(A.data):
+        return A
+    i, j = _iota_masks(A)
+    inI = (i >= (I.start or 0)) & (i < I.stop)
+    inJ = (j >= (J.start or 0)) & (j < J.stop)
+    return _like(A, jnp.where(inI & inJ,
+                              jnp.real(A.data).astype(A.dtype), A.data))
+
+
+def DiagonalScaleTrapezoid(side, orientation, uplo: UpperOrLower,
+                           d: DistMatrix, A: DistMatrix,
+                           offset: int = 0) -> DistMatrix:
+    """Scale the uplo trapezoid of A by diag(d) from `side`, leaving the
+    rest of A untouched (reference: level1/DiagonalScaleTrapezoid.hpp)."""
+    scaled = DiagonalScale(side, orientation, d, A)
+    i, j = _iota_masks(A)
+    keep = (j - i) >= offset if uplo == UPPER else (j - i) <= offset
+    return _like(A, jnp.where(keep, scaled.data, A.data))
+
+
+def GetMappedDiagonal(A: DistMatrix, f, offset: int = 0) -> DistMatrix:
+    """d_k = f(A_{k,k+offset}) (reference:
+    level1/GetMappedDiagonal.hpp)."""
+    d = GetDiagonal(A, offset)
+    return _like(d, f(d.data))
+
+
+def UpdateMappedDiagonal(A: DistMatrix, d: DistMatrix, f,
+                         offset: int = 0) -> DistMatrix:
+    """A_{k,k+offset} = f(A_{k,k+offset}, d_k) (reference:
+    level1/UpdateMappedDiagonal.hpp). ``d`` is a (padded) column
+    vector aligned with the diagonal."""
+    i, j = _iota_masks(A)
+    on = (j - i) == offset
+    dv = d.data[:, 0]
+    # embed d along the diagonal (row index selects the entry)
+    row0 = jnp.maximum(-offset, 0)
+    k = jnp.clip(i - row0, 0, dv.shape[0] - 1)
+    upd = f(A.data, dv[k])
+    return _like(A, jnp.where(on, upd, A.data))
+
+
+def Kronecker(A: DistMatrix, B: DistMatrix) -> DistMatrix:
+    """A (x) B (reference: level1/Kronecker.hpp)."""
+    g = check_same_grid(A, B)
+    out = jnp.kron(A.data[:A.m, :A.n], B.data[:B.m, :B.n])
+    return DistMatrix.from_global(out, A.col_dist, A.row_dist, g)
+
+
+def Givens(phi, gamma):
+    """(c, s, rho) with [c, s; -conj(s), c] [phi; gamma] = [rho; 0]
+    (reference: level1/Givens.hpp, the lartg kernel)."""
+    phi = jnp.asarray(phi)
+    gamma = jnp.asarray(gamma)
+    phi_a = jnp.abs(phi)
+    gam_a = jnp.abs(gamma)
+    norm = jnp.sqrt(phi_a ** 2 + gam_a ** 2)
+    safe = jnp.where(norm == 0, jnp.ones_like(norm), norm)
+    sign = jnp.where(phi_a == 0, jnp.ones_like(phi),
+                     phi / jnp.where(phi_a == 0, 1, phi_a))
+    c = jnp.where(norm == 0, jnp.ones_like(norm), phi_a / safe)
+    s = jnp.where(norm == 0, jnp.zeros_like(phi),
+                  sign * jnp.conj(gamma) / safe)
+    rho = sign * norm
+    return c, s, rho
+
+
+def Rotate(c, s, a: DistMatrix, b: DistMatrix
+           ) -> Tuple[DistMatrix, DistMatrix]:
+    """Apply the Givens rotation [c, s; -conj(s), c] to the row pair
+    (a, b) (reference: level1/Rotate.hpp)."""
+    check_same_grid(a, b)
+    c = jnp.asarray(c, jnp.real(a.data).dtype)
+    anew = c * a.data + s * b.data
+    bnew = -jnp.conj(s) * a.data + c * b.data
+    return _like(a, anew), _like(b, bnew)
+
+
+def _quasi_blocks(d: jax.Array, dSub: jax.Array):
+    """Masks for the 1x1/2x2 quasi-diagonal D = diag(d) +/- dSub pairs:
+    start[k] marks the first row of a 2x2 block."""
+    n = d.shape[0]
+    sub = jnp.zeros((n,), dSub.dtype).at[:dSub.shape[0]].set(dSub)
+    nz = sub != 0
+    # a start cannot immediately follow another start
+    def step(carry, z):
+        prev = carry
+        start = z & ~prev
+        return start, start
+    _, start = jax.lax.scan(step, jnp.zeros((), bool), nz)
+    end = jnp.concatenate([jnp.zeros((1,), bool), start[:-1]])
+    return sub, start, end
+
+
+def QuasiDiagonalScale(side, uplo: UpperOrLower, d: jax.Array,
+                       dSub: jax.Array, X: DistMatrix,
+                       conjugated: bool = False) -> DistMatrix:
+    """X := D X (LEFT) / X D (RIGHT) for the symmetric/Hermitian
+    quasi-diagonal D built from d (diagonal) and dSub (couplings whose
+    nonzeros mark 2x2 blocks) — the Bunch-Kaufman D factor
+    (reference: level1/QuasiDiagonalScale.hpp). For uplo=LOWER dSub is
+    the subdiagonal (mirror conjugated when ``conjugated``); UPPER is
+    the transposed convention."""
+    d = jnp.asarray(d)
+    sub, start, end = _quasi_blocks(d, jnp.asarray(dSub))
+    if side != LEFT:
+        return Transpose(QuasiDiagonalScale(
+            LEFT, uplo, d, dSub, Transpose(X), conjugated))
+    x = X.data
+    P = x.shape[0]
+    n = d.shape[0]
+    dv = jnp.ones((P,), d.dtype).at[:n].set(d[:n])
+    subv = jnp.zeros((P,), d.dtype).at[:n].set(jnp.where(start, sub, 0)[:n])
+    startv = jnp.zeros((P,), bool).at[:n].set(start[:n])
+    endv = jnp.zeros((P,), bool).at[:n].set(end[:n])
+    subc = jnp.conj(subv) if conjugated else subv
+    lower = uplo == LOWER
+    # D[k, k+1] (couples x_{k+1} into start row k) and D[k+1, k]
+    coef_up = jnp.where(startv, subc if lower else subv, 0)
+    dn_coef_at_start = jnp.where(startv, subv if lower else subc, 0)
+    coef_dn = jnp.concatenate([jnp.zeros((1,), d.dtype),
+                               dn_coef_at_start[:-1]])
+    up = jnp.concatenate([x[1:], jnp.zeros_like(x[:1])], axis=0)
+    dn = jnp.concatenate([jnp.zeros_like(x[:1]), x[:-1]], axis=0)
+    y = dv[:, None] * x + coef_up[:, None] * up + coef_dn[:, None] * dn
+    return _like(X, y)
+
+
+def QuasiDiagonalSolve(side, uplo: UpperOrLower, d: jax.Array,
+                       dSub: jax.Array, X: DistMatrix,
+                       conjugated: bool = False) -> DistMatrix:
+    """X := D^{-1} X for the quasi-diagonal D (reference:
+    level1/QuasiDiagonalSolve.hpp): 1x1 blocks divide; 2x2 blocks invert
+    in closed form."""
+    d = jnp.asarray(d)
+    sub, start, end = _quasi_blocks(d, jnp.asarray(dSub))
+    if side != LEFT:
+        return Transpose(QuasiDiagonalSolve(
+            LEFT, uplo, d, dSub, Transpose(X), conjugated))
+    x = X.data
+    P = x.shape[0]
+    n = d.shape[0]
+    dv = jnp.ones((P,), d.dtype).at[:n].set(d[:n])
+    subv = jnp.zeros((P,), d.dtype).at[:n].set(jnp.where(start, sub, 0)[:n])
+    startv = jnp.zeros((P,), bool).at[:n].set(start[:n])
+    endv = jnp.zeros((P,), bool).at[:n].set(end[:n])
+    lower = uplo == LOWER
+    subc = jnp.conj(subv) if conjugated else subv
+    b_up = subc if lower else subv      # D[k, k+1]
+    b_dn = subv if lower else subc      # D[k+1, k]
+    c_next = jnp.concatenate([dv[1:], jnp.ones((1,), d.dtype)])
+    det = jnp.where(startv, dv * c_next - b_up * b_dn,
+                    jnp.ones((P,), d.dtype))
+    up = jnp.concatenate([x[1:], jnp.zeros_like(x[:1])], axis=0)
+    dn = jnp.concatenate([jnp.zeros_like(x[:1]), x[:-1]], axis=0)
+    shift1 = lambda v, fill: jnp.concatenate(
+        [jnp.full((1,), fill, v.dtype), v[:-1]])
+    y_start = (c_next[:, None] * x - b_up[:, None] * up) / det[:, None]
+    a_prev = shift1(dv, 1)
+    bdn_prev = shift1(b_dn, 0)
+    det_prev = shift1(det, 1)
+    y_end = (a_prev[:, None] * x - bdn_prev[:, None] * dn) / \
+        det_prev[:, None]
+    y_single = x / dv[:, None]
+    y = jnp.where(startv[:, None], y_start,
+                  jnp.where(endv[:, None], y_end, y_single))
+    return _like(X, y)

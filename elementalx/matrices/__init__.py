@@ -566,3 +566,165 @@ def KnapsackTypeBasis(n, radius, grid=None, dtype=jnp.float64, key=None):
         return eye + bottom
 
     return _fill(n + 1, n, f, grid, dtype)
+
+
+# -- remaining deterministic families (completing the SURVEY §2.5 census) ---
+
+
+def Fiedler(c, grid=None):
+    """F_ij = |c_i - c_j| (reference: deterministic/misc/Fiedler.cpp)."""
+    c = jnp.asarray(c)
+    n = c.shape[0]
+    return _fill(n, n, lambda i, j: jnp.abs(c[jnp.clip(i, 0, n - 1)]
+                                            - c[jnp.clip(j, 0, n - 1)]),
+                 grid, jnp.real(c).dtype)
+
+
+def Forsythe(n, alpha, lam, grid=None, dtype=jnp.float64):
+    """Jordan block J_n(lambda) with alpha placed at (n-1, 0)
+    (reference: deterministic/misc/Forsythe.cpp)."""
+    return _fill(n, n, lambda i, j: jnp.where(i == j, lam, 0.0)
+                 + jnp.where(j == i + 1, 1.0, 0.0)
+                 + jnp.where((i == n - 1) & (j == 0), alpha, 0.0),
+                 grid, dtype)
+
+
+def GKS(n, grid=None, dtype=jnp.float64):
+    """Golub-Klema-Stewart: diag 1/sqrt(j+1), strict upper -1/sqrt(j+1)
+    (reference: deterministic/misc/GKS.cpp)."""
+    def f(i, j):
+        r = 1.0 / jnp.sqrt((j + 1).astype(dtype))
+        return jnp.where(i == j, r, jnp.where(i < j, -r, 0.0))
+
+    return _fill(n, n, f, grid, dtype)
+
+
+def JordanCholesky(n, grid=None, dtype=jnp.float64):
+    """Tridiagonal [2, 5, 2] with A00 = 1, so A = B^H B for the
+    unit-upper-bidiagonal B with 2's above the diagonal (reference:
+    deterministic/misc/JordanCholesky.cpp)."""
+    def f(i, j):
+        diag = jnp.where(i == j, jnp.where(i == 0, 1.0, 5.0), 0.0)
+        off = jnp.where(jnp.abs(i - j) == 1, 2.0, 0.0)
+        return diag + off
+
+    return _fill(n, n, f, grid, dtype)
+
+
+def Triangle(n, grid=None, dtype=jnp.float64):
+    """Banded Toeplitz with symbol z + z^{-2}/4, a classic
+    pseudospectra example (reference: deterministic/misc/Triangle.cpp;
+    requires n >= 3)."""
+    if n < 3:
+        raise ValueError("Triangle requires n >= 3 (second-order symbol)")
+    return _fill(n, n, lambda i, j: jnp.where(j == i + 1, 1.0, 0.0)
+                 + jnp.where(i == j + 2, 0.25, 0.0), grid, dtype)
+
+
+def TrefethenEmbree(n, grid=None, dtype=jnp.complex128):
+    """Banded Toeplitz with symbol 2 z^3 - z^2 + 2i z - 4 z^{-2}
+    - 2i z^{-3} (reference: deterministic/misc/TrefethenEmbree.cpp;
+    requires n >= 4)."""
+    if n < 4:
+        raise ValueError("TrefethenEmbree requires n >= 4")
+
+    def f(i, j):
+        z = jnp.zeros(i.shape, dtype)
+        z = z + jnp.where(j == i + 3, jnp.asarray(2, dtype), 0)
+        z = z + jnp.where(j == i + 2, jnp.asarray(-1, dtype), 0)
+        z = z + jnp.where(j == i + 1, jnp.asarray(2j, dtype), 0)
+        z = z + jnp.where(i == j + 2, jnp.asarray(-4, dtype), 0)
+        z = z + jnp.where(i == j + 3, jnp.asarray(-2j, dtype), 0)
+        return z
+
+    return _fill(n, n, f, grid, dtype)
+
+
+def Egorov(phase, n, grid=None, dtype=jnp.complex128):
+    """A_ij = exp(i * phase(i, j)) for a batched phase function
+    (reference: deterministic/misc/Egorov.cpp)."""
+    def f(i, j):
+        th = phase(i, j)
+        return (jnp.cos(th) + 1j * jnp.sin(th)).astype(dtype)
+
+    return _fill(n, n, f, grid, dtype)
+
+
+def DynamicRegCounter(n, grid=None, dtype=jnp.float64):
+    """2n x 2n block matrix [[JordanCholesky(n), I], [I, -I]] used to
+    stress dynamically-regularized solvers (reference:
+    deterministic/misc/DynamicRegCounter.cpp)."""
+    def f(i, j):
+        tl = jnp.where(i == j, jnp.where(i == 0, 1.0, 5.0), 0.0) \
+            + jnp.where(jnp.abs(i - j) == 1, 2.0, 0.0)
+        tl = jnp.where((i < n) & (j < n), tl, 0.0)
+        tr = jnp.where((i < n) & (j == i + n), 1.0, 0.0)
+        bl = jnp.where((j < n) & (i == j + n), 1.0, 0.0)
+        br = jnp.where((i >= n) & (i == j), -1.0, 0.0)
+        return tl + tr + bl + br
+
+    return _fill(2 * n, 2 * n, f, grid, dtype)
+
+
+def HelmholtzPML(n, omega, num_pml_points=5, sigma=1.5, pml_exp=3.0,
+                 grid=None, dtype=jnp.complex128):
+    """1-D Helmholtz operator with perfectly-matched-layer boundary
+    stretching (reference: deterministic/pde/HelmholtzPML.cpp): complex
+    coordinate profile s(x)^-1 = 1 + i (sigma/w) (x/w)^p / k inside the
+    PML regions, discretized on n interior points of [0, 1]."""
+    omega = jnp.asarray(omega, dtype)
+    k = jnp.real(omega) / (2 * math.pi)
+    h = 1.0 / (n + 1)
+    h2 = h * h
+    w = num_pml_points * h
+
+    def profile(x):
+        arg = x / w
+        return 1.0 + 1j * (sigma / w) * arg ** pml_exp / k
+
+    def s_inv(j):
+        jf = j.astype(jnp.float64)
+        left = profile((num_pml_points - 1 - jf) * h)
+        right = profile((jf - (n - num_pml_points)) * h)
+        return jnp.where(j < num_pml_points - 1, left,
+                         jnp.where(j > n - num_pml_points, right,
+                                   jnp.ones_like(left)))
+
+    def f(i, j):
+        sL = s_inv(i - 1)
+        sM = s_inv(i)
+        sR = s_inv(i + 1)
+        termL = (1.0 / sL + 1.0 / sM) / (2 * h2)
+        termR = (1.0 / sM + 1.0 / sR) / (2 * h2)
+        main = (termL + termR) - omega * omega * sM
+        out = jnp.where(i == j, main, jnp.zeros_like(main))
+        out = jnp.where((j == i - 1) & (i != 0), -termL, out)
+        out = jnp.where((j == i + 1) & (i != n - 1), -termR, out)
+        return out.astype(dtype)
+
+    return _fill(n, n, f, grid, dtype)
+
+
+def UniformHelmholtzGreens(n, lam, grid=None, dtype=jnp.complex128,
+                           key=None):
+    """Green's-function matrix exp(i gamma)/gamma, gamma = k0 |x_i-x_j|,
+    for n points sampled uniformly in the unit ball, k0 = 2 pi / lambda
+    (reference: random/misc/UniformHelmholtzGreens.cpp); zero diagonal."""
+    k = key if key is not None else next_key()
+    k0 = 2 * math.pi / lam
+    # rejection-free ball sampling: direction * radius^(1/3)
+    kd, kr = jax.random.split(k)
+    d = jax.random.normal(kd, (3, n), jnp.float64)
+    d = d / jnp.linalg.norm(d, axis=0, keepdims=True)
+    r = jax.random.uniform(kr, (n,), jnp.float64) ** (1.0 / 3.0)
+    X = d * r[None, :]
+
+    def f(i, j):
+        xi = X[:, jnp.clip(i, 0, n - 1)]
+        xj = X[:, jnp.clip(j, 0, n - 1)]
+        gamma = k0 * jnp.sqrt(jnp.sum((xi - xj) ** 2, axis=0))
+        safe = jnp.where(gamma == 0, 1.0, gamma)
+        val = (jnp.cos(gamma) + 1j * jnp.sin(gamma)) / safe
+        return jnp.where(i == j, jnp.zeros_like(val), val).astype(dtype)
+
+    return _fill(n, n, f, grid, dtype)
