@@ -26,11 +26,34 @@ if not _os.environ.get("ELEMENTALX_NO_PRECISION_OVERRIDE"):
 # Persistent compilation cache: factorization graphs are large and the
 # attached-TPU tunnel compiles slowly; cached programs make reruns fast.
 # Opt out with ELEMENTALX_NO_COMPILE_CACHE=1.
-if not _os.environ.get("ELEMENTALX_NO_COMPILE_CACHE"):
+if not _os.environ.get("ELEMENTALX_NO_COMPILE_CACHE") and \
+        "cpu" not in _os.environ.get("JAX_PLATFORMS", "").lower():
+    # CPU-platform sessions (the test suite) run UNCACHED: XLA:CPU
+    # segfaults (de)serializing very large executables on some hosts —
+    # observed in both put_executable_and_time and
+    # get_executable_and_time for the fuzz-eig program. The cache's real
+    # value is the slow attached-TPU tunnel compiles, which keep it.
     try:
+        # key the cache by the host CPU profile: XLA:CPU AOT executables
+        # serialized on a host with different vector features SEGFAULT on
+        # deserialization (observed across container reschedules), so a
+        # rescheduled host must get a fresh cache directory
+        def _host_tag():
+            import hashlib
+
+            try:
+                with open("/proc/cpuinfo") as fh:
+                    for line in fh:
+                        if line.startswith("flags"):
+                            return hashlib.sha1(
+                                line.encode()).hexdigest()[:10]
+            except OSError:
+                pass
+            return "generic"
+
         _cache = _os.environ.get(
             "ELEMENTALX_CACHE_DIR",
-            _os.path.expanduser("~/.cache/elementalx_xla"))
+            _os.path.expanduser("~/.cache/elementalx_xla_" + _host_tag()))
         _jax.config.update("jax_compilation_cache_dir", _cache)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:

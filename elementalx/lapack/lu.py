@@ -54,6 +54,68 @@ _LU_PANEL_BASE = 16
 
 _SLAB_INNER = 128
 
+# XLA:TPU's LuDecompositionBlock custom-call stages the whole panel in
+# scoped VMEM; panels taller than ~8k rows overflow the 16 MB limit
+# (measured: (16384,128), (12288,128) and even (16384,64) fail while
+# (10240,128)/(8192,*) compile; a vmapped batch of two 8192-row chunks
+# fails too, so the tournament factors its chunks SEQUENTIALLY).
+# Above this height the panel routes through the CALU-style tournament.
+_GETRF_CHUNK = 8192
+
+
+def _getrf_tall(sl: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Tournament-pivoted LU of a very tall panel (Mt, w) — the CALU
+    scheme (Grigori/Demmel/Xiang): partition rows into chunks, factor
+    each chunk with XLA's native getrf (batched), stack every chunk's
+    w winning pivot rows, and factor the stack to elect the final
+    pivot set; L for all rows is then one MXU gemm against inv(U).
+    Threshold (not strict partial) pivoting — the standard
+    communication-avoiding trade, backward stable in practice.
+    Returns (packed, lperm) with the _lu_slab contract."""
+    Mt, w = sl.shape
+    H = _GETRF_CHUNK
+    if Mt <= H:
+        lu, _, lperm = jax.lax.linalg.lu(sl)
+        return lu, lperm
+    nc = -(-Mt // H)
+    Mp = nc * H
+    slp = jnp.concatenate(
+        [sl, jnp.zeros((Mp - Mt, w), sl.dtype)]) if Mp > Mt else sl
+    # sequential chunk getrfs (a vmapped batch overflows scoped VMEM)
+    cands = []
+    for c in range(nc):
+        _, _, cp = jax.lax.linalg.lu(slp[c * H:(c + 1) * H])
+        cands.append(cp[:w] + c * H)
+    cand = jnp.concatenate(cands)                         # (nc*w,)
+    stack = jnp.take(slp, cand, axis=0, unique_indices=True)
+    slu, _, sperm = jax.lax.linalg.lu(stack)
+    win = jnp.take(cand, sperm, axis=0, unique_indices=True)  # (nc*w,)
+    P = win[:w]
+    U = jnp.triu(slu[:w, :])
+    # L for every row: A U^{-1} (unit on the pivot rows by construction)
+    from ..blas.trinv import tri_inv_upper
+
+    L_all = local_gemm(sl, tri_inv_upper(U))
+    # composed permutation: winners first (tournament order), then the
+    # remaining REAL rows in ascending original order (padded zero rows
+    # can only win over an exactly-singular panel; they are dropped)
+    inP = jnp.zeros((Mp,), bool).at[P].set(True)
+    rest = jnp.nonzero(
+        ~inP[:Mt], size=Mt - w, fill_value=Mt - 1)[0].astype(jnp.int32)
+    lperm = jnp.concatenate([P, rest])
+    packed = jnp.concatenate(
+        [slu[:w, :], jnp.take(L_all, rest, axis=0, unique_indices=True)],
+        axis=0)
+    return packed, lperm
+
+
+def _getrf(sub: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Native getrf when the panel fits scoped VMEM, tournament above."""
+    if sub.shape[0] > _GETRF_CHUNK:
+        return _getrf_tall(sub)
+    lu, _, lperm = jax.lax.linalg.lu(sub)
+    return lu, lperm
+
 
 def _lu_slab(sl: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Pivoted LU of a tall slab (Mt x w), equivalent to
@@ -69,13 +131,12 @@ def _lu_slab(sl: jax.Array) -> Tuple[jax.Array, jax.Array]:
     Mt, w = sl.shape
     ib = _SLAB_INNER
     if w <= ib or w % ib != 0:
-        lu, _, lperm = jax.lax.linalg.lu(sl)
-        return lu, lperm
+        return _getrf(sl)
     rm = jnp.arange(Mt, dtype=jnp.int32)
     for t in range(w // ib):
         j0 = t * ib
         sub = sl[j0:, j0:j0 + ib]
-        lu, _, lp = jax.lax.linalg.lu(sub)
+        lu, lp = _getrf(sub)
         # physically reorder the slab tail (small: Mt x w) and record
         tail = jnp.take(sl[j0:, :], lp, axis=0, unique_indices=True)
         sl = jax.lax.dynamic_update_slice(sl, tail, (j0, 0))

@@ -23,6 +23,16 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from ..kernels.common import on_tpu
+
+
+def _unroll(k: int) -> int:
+    """Scan/loop unroll factor: fusing many recurrence steps per loop
+    body pays off on TPU (each step is ~us-dispatch-bound) but bloats
+    the XLA:CPU compile — large unrolled eig programs were observed to
+    SEGFAULT the CPU backend mid-suite, and CPU steps are cheap anyway."""
+    return k if on_tpu() else 1
+
 
 def _sturm_count(d: jax.Array, e: jax.Array, lam: jax.Array) -> jax.Array:
     """Number of eigenvalues of T strictly below lam, via the standard
@@ -52,7 +62,7 @@ def _sturm_count(d: jax.Array, e: jax.Array, lam: jax.Array) -> jax.Array:
     # ~us-level dispatch latency dominates an n-step sequential scan on
     # TPU; fusing 64 recurrence steps per compiled loop body cuts the
     # bisection stage ~an order of magnitude (PERF.md)
-    (q, cnt), _ = jax.lax.scan(body, (q0, cnt0), (d, e2), unroll=64)
+    (q, cnt), _ = jax.lax.scan(body, (q0, cnt0), (d, e2), unroll=_unroll(64))
     return cnt
 
 
@@ -129,7 +139,7 @@ def _solve_shifted(d: jax.Array, e: jax.Array, lam: jax.Array,
 
     e_in = jnp.concatenate([jnp.zeros((1,), d.dtype), e])
     _, (u, l) = jax.lax.scan(fwd, jnp.ones((), d.dtype), (dd, e_in),
-                             unroll=64)
+                             unroll=_unroll(64))
     # but the very first u must be dd[0]:
     u = u.at[0].set(dd[0])
 
@@ -139,7 +149,7 @@ def _solve_shifted(d: jax.Array, e: jax.Array, lam: jax.Array,
         yi = bi - li * y_prev
         return yi, yi
 
-    _, y = jax.lax.scan(fsub, jnp.zeros((), b.dtype), (b, l), unroll=64)
+    _, y = jax.lax.scan(fsub, jnp.zeros((), b.dtype), (b, l), unroll=_unroll(64))
 
     # back substitution U x = y (u x_i + e_i x_{i+1} = y_i)
     e_out = jnp.concatenate([e, jnp.zeros((1,), d.dtype)])
@@ -151,7 +161,7 @@ def _solve_shifted(d: jax.Array, e: jax.Array, lam: jax.Array,
         return xi, xi
 
     _, xr = jax.lax.scan(bsub, jnp.zeros((), b.dtype),
-                         (y[::-1], u[::-1], e_out[::-1]), unroll=64)
+                         (y[::-1], u[::-1], e_out[::-1]), unroll=_unroll(64))
     return xr[::-1]
 
 
@@ -234,7 +244,7 @@ def tridiag_eig(d: jax.Array, e: jax.Array, invit_steps: int = 2,
         # unroll: ~8 small window ops per column; fusing columns
         # amortizes per-step dispatch latency (the window recurrence
         # stays sequential — unroll preserves loop semantics)
-        return jax.lax.fori_loop(0, n, col, Z, unroll=8)
+        return jax.lax.fori_loop(0, n, col, Z, unroll=_unroll(8))
 
     for _ in range(ortho_passes):
         Z = mgs_pass(Z)

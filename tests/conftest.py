@@ -19,10 +19,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# persistent compilation cache: repeated suite runs skip recompilation
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NO persistent compilation cache on CPU: XLA:CPU segfaults
+# (de)serializing very large executables on some hosts (see CLAUDE.md);
+# elementalx/__init__ likewise skips cache setup when JAX_PLATFORMS=cpu.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -125,3 +125,23 @@ def test_lu_mod_solve(grid, rng):
                    DistMatrix.from_global(b, grid=grid)).global_array()
     target = a + np.outer(u, v)
     assert np.linalg.norm(target @ X - b) / np.linalg.norm(b) < 1e-10
+
+
+def test_getrf_tournament_matches_lu(rng, monkeypatch):
+    """CALU tournament panel (used when XLA's getrf custom-call would
+    overflow scoped VMEM on very tall panels): P A = L U with bounded
+    |L| and a valid composed permutation."""
+    import jax.numpy as jnp
+
+    import elementalx.lapack.lu as lumod
+
+    monkeypatch.setattr(lumod, "_GETRF_CHUNK", 64)
+    for (M, w) in ((300, 32), (384, 128)):
+        a = jnp.asarray(rng.standard_normal((M, w)))
+        packed, lperm = lumod._getrf(a)
+        L = np.tril(np.asarray(packed), -1)[:, :w] + np.eye(M, w)
+        U = np.triu(np.asarray(packed)[:w, :])
+        PA = np.asarray(a)[np.asarray(lperm)]
+        assert np.abs(PA - L @ U).max() < 1e-12
+        assert len(set(np.asarray(lperm).tolist())) == M
+        assert np.abs(np.tril(L, -1)).max() < 3.0  # threshold-pivot growth

@@ -23,6 +23,17 @@ from elementalx.core.types import (
 RNG = np.random.default_rng(2024)
 
 
+@pytest.fixture(autouse=True)
+def _no_compile_cache():
+    """XLA:CPU segfaults while SERIALIZING the giant fuzz-eig executable
+    for the persistent compilation cache on some hosts (crash inside
+    put_executable_and_time). These randomized programs retrace every
+    run anyway — skip the cache for this module."""
+    jax.config.update("jax_enable_compilation_cache", False)
+    yield
+    jax.config.update("jax_enable_compilation_cache", True)
+
+
 def _rand(shape, dtype):
     a = RNG.standard_normal(shape)
     if np.issubdtype(dtype, np.complexfloating):
