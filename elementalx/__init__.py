@@ -26,8 +26,13 @@ if not _os.environ.get("ELEMENTALX_NO_PRECISION_OVERRIDE"):
 # Persistent compilation cache: factorization graphs are large and the
 # attached-TPU tunnel compiles slowly; cached programs make reruns fast.
 # Opt out with ELEMENTALX_NO_COMPILE_CACHE=1.
+_platforms = _os.environ.get("JAX_PLATFORMS", "").lower()
 if not _os.environ.get("ELEMENTALX_NO_COMPILE_CACHE") and \
-        "cpu" not in _os.environ.get("JAX_PLATFORMS", "").lower():
+        _platforms and "cpu" not in _platforms:
+    # Cache ONLY when a non-CPU platform is explicitly named (axon/tpu
+    # sessions set JAX_PLATFORMS). An unset var can still resolve to the
+    # CPU backend, where the cache must stay off (see below) — so unset
+    # means no cache rather than guessing the backend eagerly.
     # CPU-platform sessions (the test suite) run UNCACHED: XLA:CPU
     # segfaults (de)serializing very large executables on some hosts —
     # observed in both put_executable_and_time and

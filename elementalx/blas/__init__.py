@@ -32,4 +32,12 @@ from .level3 import (  # noqa: F401
     TwoSidedTrmm,
     TwoSidedTrsm,
 )
+from .quasi import (  # noqa: F401
+    MultiShiftQuasiTrsm,
+    QuasiTrsm,
+    QuasiTrsv,
+    SafeMultiShiftQuasiTrsm,
+    SafeMultiShiftTrsm,
+    Trstrm,
+)
 from .contract import AxpyContract, Contract  # noqa: F401

@@ -622,8 +622,12 @@ def QuasiDiagonalScale(side, uplo: UpperOrLower, d: jax.Array,
     d = jnp.asarray(d)
     sub, start, end = _quasi_blocks(d, jnp.asarray(dSub))
     if side != LEFT:
+        # X D = (D^T X^T)^T; for Hermitian D (conjugated), D^T = conj(D)
+        # = the quasi-diagonal built from conj(dSub), so conjugate the
+        # couplings before reducing to the LEFT case.
+        dSub_t = jnp.conj(jnp.asarray(dSub)) if conjugated else dSub
         return Transpose(QuasiDiagonalScale(
-            LEFT, uplo, d, dSub, Transpose(X), conjugated))
+            LEFT, uplo, d, dSub_t, Transpose(X), conjugated))
     x = X.data
     P = x.shape[0]
     n = d.shape[0]
@@ -653,8 +657,11 @@ def QuasiDiagonalSolve(side, uplo: UpperOrLower, d: jax.Array,
     d = jnp.asarray(d)
     sub, start, end = _quasi_blocks(d, jnp.asarray(dSub))
     if side != LEFT:
+        # X D^{-1} = (D^{-T} X^T)^T; D^{-T} = conj(D)^{-1} for Hermitian
+        # D, so conjugate the couplings (see QuasiDiagonalScale).
+        dSub_t = jnp.conj(jnp.asarray(dSub)) if conjugated else dSub
         return Transpose(QuasiDiagonalSolve(
-            LEFT, uplo, d, dSub, Transpose(X), conjugated))
+            LEFT, uplo, d, dSub_t, Transpose(X), conjugated))
     x = X.data
     P = x.shape[0]
     n = d.shape[0]

@@ -237,10 +237,29 @@ def MultiShiftTrsm(side: LeftOrRight, uplo: UpperOrLower,
                    orientation: Orientation, alpha, T: DistMatrix,
                    shifts: jax.Array, B: DistMatrix) -> DistMatrix:
     """Solve (op(T) - shifts[j] I) X[:,j] = alpha B[:,j] per column
-    (reference: MultiShiftTrsm.cpp, used by TriangEig). Columns are
-    independent => vmapped batched triangular solve on the MXU."""
+    (LEFT), or X[j,:] (op(T) - shifts[j] I) = alpha B[:,j] per row
+    (RIGHT), for triangular T (reference: MultiShiftTrsm.cpp, used by
+    TriangEig). Columns/rows are independent => vmapped batched
+    triangular solves on the MXU. The reference only implements
+    LEFT+UPPER (MultiShiftTrsm.cpp:28-37 raises otherwise); both sides
+    and both uplos are supported here via transpose reductions."""
     if side != LEFT:
-        raise NotImplementedError("RIGHT MultiShiftTrsm unused by drivers")
+        # row j of X solves X[j,:] (op(T) - s_j) = alpha B[j,:], i.e.
+        # (op(T)^T - s_j) X[j,:]^T = alpha B[j,:]^T — a LEFT solve with
+        # the orientation flipped and B transposed
+        flip = {NORMAL: TRANSPOSE, TRANSPOSE: NORMAL, ADJOINT: NORMAL}
+        if orientation == ADJOINT:
+            # X (T^H - s) = B  <=>  (conj(T) - s) X^T = B^T; reduce via
+            # conjugation: solve (T - conj(s)) Y = conj(B^T), X^T = conj(Y)
+            Tm = T.redistribute(MC, MR)
+            Bt = Transpose(B)
+            Bc = Bt.with_data(jnp.conj(Bt.data))
+            Y = MultiShiftTrsm(LEFT, uplo, NORMAL, jnp.conj(
+                jnp.asarray(alpha)), Tm, jnp.conj(jnp.asarray(shifts)), Bc)
+            return Transpose(Y.with_data(jnp.conj(Y.data)))
+        Xt = MultiShiftTrsm(LEFT, uplo, flip[orientation], alpha, T,
+                            shifts, Transpose(B))
+        return Transpose(Xt)
     Td = T.replicated()
     m = T.m
     lower = uplo == LOWER

@@ -132,34 +132,46 @@ def _left_solve(T: jax.Array, B: jax.Array, lower: bool, nb: int,
 
 
 def _right_solve_adjoint_lower(T: jax.Array, B: jax.Array, nb: int,
-                               precision=None) -> jax.Array:
+                               precision=None, opcast=None) -> jax.Array:
     """Solve X T^H = B for lower-triangular T (already prepped), i.e. a
     RIGHT solve against the upper-triangular T^H, without materialising
     any transpose of T or B: blocked partitioned-inverse substitution
     with each step one (P, M) @ (M, nb) MXU matmul. Used by the Cholesky
-    recursion's L21 = A21 inv(L11)^H panels."""
+    recursion's L21 = A21 inv(L11)^H panels.
+
+    ``opcast`` (e.g. bfloat16): cast every matmul OPERAND to that dtype
+    while accumulating in the carrier dtype — numerically identical to
+    DEFAULT matmul precision on f32 carriers (the MXU truncates operands
+    to bf16 either way) but with half the operand HBM traffic, which is
+    what sets the rate for these bandwidth-bound panel solves."""
     if T.dtype in (jnp.bfloat16, jnp.float16):
         out = _right_solve_adjoint_lower(
             T.astype(jnp.float32), B.astype(jnp.float32), nb,
-            precision=jax.lax.Precision.DEFAULT)
+            precision=jax.lax.Precision.DEFAULT, opcast=T.dtype)
         return out.astype(B.dtype)
     M = T.shape[0]
     nb = _pick_nb(M, max(nb, -(-M // 32)))
     nblk = M // nb
     tri_inv = _batched_diag_inv(T, nb, nblk, True)
+    acc = T.dtype
+
+    def mm(a, b):
+        if opcast is not None:
+            return jnp.matmul(a.astype(opcast), b.astype(opcast),
+                              precision=jax.lax.Precision.DEFAULT,
+                              preferred_element_type=acc)
+        return local_gemm(a, b, precision=precision)
 
     # recursive halving on column blocks of X (see _left_solve):
     # [X1 X2] [[T11,.],[T21,T22]]^H = [B1 B2] =>
     # X1 = B1 inv(T11)^H;  X2 = (B2 - X1 T21^H) inv(T22)^H
     def rec(k_lo: int, k_hi: int, Bp: jax.Array) -> jax.Array:
         if k_hi - k_lo == 1:
-            return local_gemm(Bp, jnp.conj(tri_inv[k_lo]).T,
-                              precision=precision)
+            return mm(Bp, jnp.conj(tri_inv[k_lo]).T)
         k_mid = (k_lo + k_hi) // 2
         lo0, mid0, hi0 = k_lo * nb, k_mid * nb, k_hi * nb
         X1 = rec(k_lo, k_mid, Bp[:, : mid0 - lo0])
-        R2 = Bp[:, mid0 - lo0:] - local_gemm(
-            X1, jnp.conj(T[mid0:hi0, lo0:mid0]).T, precision=precision)
+        R2 = Bp[:, mid0 - lo0:] - mm(X1, jnp.conj(T[mid0:hi0, lo0:mid0]).T)
         X2 = rec(k_mid, k_hi, R2)
         return jnp.concatenate([X1, X2], axis=1)
 

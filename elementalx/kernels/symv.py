@@ -94,11 +94,14 @@ def _symv_lower_tpu(A: jax.Array, v: jax.Array, bs: int) -> jax.Array:
     o1, o2 = pl.pallas_call(
         functools.partial(_symv_kernel, bs=bs),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((T, 1, bs), A.dtype)] * 2,
+        # partials stay f32 so the cross-block segment_sum accumulates
+        # in f32 even for bf16 A (ADVICE r1: bf16 partial accumulation
+        # was less accurate than the plain A @ v fallback)
+        out_shape=[jax.ShapeDtypeStruct((T, 1, bs), jnp.float32)] * 2,
     )(ii, jj, A, v2, v2)
     s1 = jax.ops.segment_sum(o1[:, 0, :], ii, num_segments=nblk)
     s2 = jax.ops.segment_sum(o2[:, 0, :], jj, num_segments=nblk)
-    return (s1 + s2).reshape(M)
+    return (s1 + s2).reshape(M).astype(A.dtype)
 
 
 def symv_lower(A: jax.Array, v: jax.Array, bs: int = 1024) -> jax.Array:

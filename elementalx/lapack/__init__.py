@@ -81,7 +81,16 @@ from .util import Median, Sort, SortColumns, TaggedSort  # noqa: F401
 from . import id_skeleton  # noqa: F401
 from .id_skeleton import ID, Skeleton  # noqa: F401
 from . import schur  # noqa: F401
-from .schur import Eig, QuasiTriangEig, Schur, TriangEig  # noqa: F401
+from .schur import (  # noqa: F401
+    Eig,
+    QuasiSchurDecomposition,
+    QuasiTriangEig,
+    ReorderSchur,
+    Schur,
+    SchurSwap,
+    TriangEig,
+)
+from . import schur_real  # noqa: F401
 from . import pseudospectra  # noqa: F401
 from .pseudospectra import (Pseudospectra, TriangularPseudospectra,  # noqa: F401
                             OneNormPseudospectra)

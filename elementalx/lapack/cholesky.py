@@ -46,25 +46,35 @@ from ..blas.level1 import MakeHermitian, MakeTrapezoidal
 from ..blas.trsm import Trsm
 
 
-def _chol_lower_rec(a: jax.Array, nb: int, precision=None) -> jax.Array:
+def _chol_lower_rec(a: jax.Array, nb: int, precision=None,
+                    store=None) -> jax.Array:
     """Recursive lower Cholesky of a padded Hermitian array whose padding
     diagonal is 1. Static shapes throughout; only the lower triangle of
     `a` is read (trailing updates keep garbage above the diagonal).
     `precision` governs the MXU matmuls of the trsm panels and trailing
     updates (DEFAULT = single-pass bf16 with f32 accumulation for
-    bf16-storage inputs; None = library default, full f32)."""
+    bf16-storage inputs; None = library default, full f32).
+
+    ``store`` (e.g. bfloat16): the factor blocks are RETURNED in the
+    storage dtype and every panel/update matmul runs with store-dtype
+    operands + carrier-dtype (f32) accumulation. Numerically this equals
+    the DEFAULT-precision f32-carrier path (the MXU truncates operands
+    to bf16 either way), but the L blocks move through the concatenate
+    tree and the gemm operand reads at half the HBM bytes — these
+    bandwidth terms, not FLOPs, dominate the bf16 factorization."""
     n = a.shape[0]
     if n <= nb:
         # symmetrize_input=False: the upper triangle holds garbage from
         # the lower-only trailing updates and must not be averaged in
-        return jax.lax.linalg.cholesky(a, symmetrize_input=False)
+        l = jax.lax.linalg.cholesky(a, symmetrize_input=False)
+        return l.astype(store) if store is not None else l
     h = n // 2
     # keep splits grid-aligned when possible (n is a multiple of the grid
     # quantum by construction; h inherits half of it)
     a11 = a[:h, :h]
     a21 = a[h:, :h]
     a22 = a[h:, h:]
-    l11 = _chol_lower_rec(a11, nb, precision)
+    l11 = _chol_lower_rec(a11, nb, precision, store)
     # L21 = A21 inv(L11)^H — partitioned-inverse blocked substitution
     # (pure MXU matmuls; XLA's TriangularSolve lowers to a slow
     # scalar-ish substitution on TPU)
@@ -73,10 +83,22 @@ def _chol_lower_rec(a: jax.Array, nb: int, precision=None) -> jax.Array:
     # full-square rank-k update: a lower-triangle-only blocked form was
     # measured SLOWER on-chip (24.6 ms vs 17.3 ms at n=8192) — splitting
     # the big MXU matmul costs more than the halved FLOPs save
-    l21 = _right_solve_adjoint_lower(l11, a21, nb, precision=precision)
-    a22u = a22 - local_gemm(l21, jnp.conj(l21.T), precision=precision)
-    l22 = _chol_lower_rec(a22u, nb, precision)
-    top = jnp.concatenate([l11, jnp.zeros((h, n - h), a.dtype)], axis=1)
+    if store is not None:
+        l11f = l11.astype(a.dtype)
+        l21 = _right_solve_adjoint_lower(l11f, a21, nb,
+                                         precision=precision,
+                                         opcast=store).astype(store)
+        upd = jnp.matmul(l21, jnp.conj(l21.T),
+                         precision=jax.lax.Precision.DEFAULT,
+                         preferred_element_type=a.dtype)
+        a22u = a22 - upd
+    else:
+        l21 = _right_solve_adjoint_lower(l11, a21, nb,
+                                         precision=precision)
+        a22u = a22 - local_gemm(l21, jnp.conj(l21.T), precision=precision)
+    l22 = _chol_lower_rec(a22u, nb, precision, store)
+    dt = l11.dtype
+    top = jnp.concatenate([l11, jnp.zeros((h, n - h), dt)], axis=1)
     bot = jnp.concatenate([l21, l22], axis=1)
     return jnp.concatenate([top, bot], axis=0)
 
@@ -114,18 +136,18 @@ def _cholesky_jit(uplo: UpperOrLower, A: DistMatrix,
         # bf16 single-pass updates want 1024 (4.4 ms at n=8192)
         nb = max(nb, 1024 if low_store else 2048)
     d = _prep_hpd(A, uplo)
-    # low-precision storage factors through f32 (XLA's Cholesky/
-    # TriangularSolve have no bf16/f16 kernels; accumulation wants f32
-    # anyway), result demoted back; its matmuls run single-pass on the
-    # MXU (DEFAULT) — operand truncation to bf16 matches the storage
-    # accuracy already accepted, at ~6x the f32-HIGHEST matmul rate
+    # low-precision storage factors through f32 carriers (XLA's Cholesky
+    # has no bf16/f16 kernel; accumulation wants f32 anyway) with the L
+    # blocks RETURNED in the storage dtype: the gemm operand reads and
+    # the concatenate tree then move half the bytes, and every matmul is
+    # single-pass MXU with f32 accumulation — numerically identical to
+    # the earlier DEFAULT-precision/f32-carrier scheme
     low = d.dtype in (jnp.bfloat16, jnp.float16)
+    store = A.dtype if low else None
     prec = jax.lax.Precision.DEFAULT if low else None
     if low:
         d = d.astype(jnp.float32)
-    L = _chol_lower_rec(d, nb, prec)
-    if low:
-        L = L.astype(A.dtype)
+    L = _chol_lower_rec(d, nb, prec, store)
     L = _strip_pad_diag(L, A.m)
     Ldm = A.redistribute(MC, MR).with_data(L)
     Ldm = MakeTrapezoidal(LOWER, Ldm)

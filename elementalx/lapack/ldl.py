@@ -129,11 +129,18 @@ def RegularizedLDL(A: DistMatrix, reg: jax.Array, conjugate: bool = True,
     return LDL(Am.with_data(d), conjugate, blocksize)
 
 
-def Inertia(A: DistMatrix, blocksize: Optional[int] = None):
+def Inertia(A: DistMatrix, blocksize: Optional[int] = None,
+            pivoted: bool = False):
     """(num positive, num negative, num zero) eigenvalue counts via the
-    diagonal of an LDL factorization (reference: props/Inertia.cpp via
-    Bunch-Kaufman; here unpivoted LDL — valid for the quasi-definite
-    matrices the IPM layer produces)."""
+    diagonal of an LDL factorization (reference: props/Inertia.cpp).
+    ``pivoted=True`` routes through Bunch-Kaufman — required for general
+    indefinite matrices, where an unpivoted LDL can break down; the
+    default unpivoted path remains valid for the quasi-definite systems
+    the IPM layer produces."""
+    if pivoted:
+        F, dSub, _ = LDLPivoted(A, conjugate=True)
+        return InertiaAfterLDL(jnp.diagonal(F.data)[: A.m],
+                               dSub[: max(A.m - 1, 0)])
     F = LDL(A, conjugate=True, blocksize=blocksize)
     d = jnp.real(jnp.diagonal(F.data))
     idx = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
@@ -144,3 +151,221 @@ def Inertia(A: DistMatrix, blocksize: Optional[int] = None):
     neg = jnp.sum(jnp.where(live & (d < -tol), 1, 0))
     zero = A.m - pos - neg
     return pos, neg, zero
+
+
+def InertiaAfterLDL(d: jax.Array, dSub: jax.Array):
+    """Inertia from a Bunch-Kaufman quasi-diagonal D = diag(d) + 2x2
+    couplings dSub (reference: props/Inertia.cpp logic): each 2x2 block
+    with negative determinant contributes one positive and one negative
+    eigenvalue; 1x1 entries contribute their sign."""
+    n = d.shape[0]
+    dr = jnp.real(d)
+    sub = jnp.zeros((n,), dSub.dtype)
+    if n > 1:
+        sub = sub.at[: dSub.shape[0]].set(dSub)
+    start = sub != 0                       # 2x2 block starts at k
+    end = jnp.concatenate([jnp.zeros((1,), bool), start[:-1]])
+    in2 = start | end
+    eps = jnp.finfo(dr.dtype).eps
+    tol = eps * n * jnp.maximum(jnp.max(jnp.abs(dr)), 1.0)
+    # 1x1 contributions
+    pos = jnp.sum(jnp.where(~in2 & (dr > tol), 1, 0))
+    neg = jnp.sum(jnp.where(~in2 & (dr < -tol), 1, 0))
+    zero = jnp.sum(jnp.where(~in2 & (jnp.abs(dr) <= tol), 1, 0))
+    # 2x2 blocks: det = d_k d_{k+1} - |e|^2, trace = d_k + d_{k+1}
+    d_next = jnp.concatenate([dr[1:], jnp.zeros((1,), dr.dtype)])
+    det = dr * d_next - jnp.abs(sub) ** 2
+    trc = dr + d_next
+    blk_pos = jnp.where(det < 0, 1, jnp.where(trc > 0, 2, 0))
+    blk_neg = jnp.where(det < 0, 1, jnp.where(trc > 0, 0, 2))
+    pos = pos + jnp.sum(jnp.where(start, blk_pos, 0))
+    neg = neg + jnp.sum(jnp.where(start, blk_neg, 0))
+    return pos, neg, zero
+
+
+_BK_ALPHA = 0.6403882032022076  # (1 + sqrt(17)) / 8
+
+
+def _swap_sym_full(a: jax.Array, i, j):
+    """Symmetric row+column swap on a full (Hermitian-stored) array."""
+    ri = jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
+    rj = jax.lax.dynamic_index_in_dim(a, j, 0, keepdims=False)
+    a = jax.lax.dynamic_update_index_in_dim(a, rj[None, :], i, 0)
+    a = jax.lax.dynamic_update_index_in_dim(a, ri[None, :], j, 0)
+    ci = jax.lax.dynamic_index_in_dim(a, i, 1, keepdims=False)
+    cj = jax.lax.dynamic_index_in_dim(a, j, 1, keepdims=False)
+    a = jax.lax.dynamic_update_index_in_dim(a, cj[:, None], i, 1)
+    return jax.lax.dynamic_update_index_in_dim(a, ci[:, None], j, 1)
+
+
+def LDLPivoted(A: DistMatrix, conjugate: bool = True):
+    """Bunch-Kaufman (partial) pivoted LDL: P A P^T = L D L^H with unit
+    lower L and quasi-diagonal D (1x1/2x2 blocks)
+    (reference: factor/LDL/dense/Pivoted.hpp, pivot type BUNCH_KAUFMAN_A).
+
+    TPU-native: one fixed-trip fori_loop of n iterations over a DYNAMIC
+    column pointer (a 2x2 pivot consumes two columns, so late iterations
+    no-op), pivot selection via on-device masked argmax, symmetric swaps
+    as dynamic row/column updates, and masked rank-1/rank-2 trailing
+    updates — the data-dependent 1x1/2x2 interleaving the SURVEY's hard
+    parts list anticipated, with no dynamic shapes anywhere.
+
+    Returns (F, dSub, perm): F packs unit-L strictly below the diagonal
+    and diag(D) on it; dSub[k] holds the subdiagonal coupling of a 2x2
+    block starting at k (0 elsewhere); perm maps factored position ->
+    original row (apply as A[perm][:, perm] = L D L^H)."""
+    if A.m != A.n:
+        raise ValueError("LDLPivoted requires square A")
+    n = A.m
+    Af = MakeHermitian(LOWER, A.redistribute(MC, MR)) if conjugate else \
+        _symmetrize(A)
+    a = Af.data
+    M = a.shape[0]
+    i = jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
+    j2 = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
+    a = jnp.where((i == j2) & (i >= n), jnp.ones((), a.dtype), a)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
+    rdt = jnp.real(a).dtype
+    tr = (lambda x: jnp.conj(x)) if conjugate else (lambda x: x)
+
+    def body(_, carry):
+        a, sub, perm, k = carry
+        active = k < n
+
+        colv = jax.lax.dynamic_index_in_dim(a, k, 1, keepdims=False)
+        absakk = jnp.abs(jax.lax.dynamic_index_in_dim(colv, k, 0,
+                                                      keepdims=False))
+        cand = jnp.where((rows > k) & (rows < n), jnp.abs(colv),
+                         jnp.full((M,), -1.0, rdt))
+        r = jnp.argmax(cand).astype(jnp.int32)
+        colmax = jnp.maximum(cand[r], 0.0)
+        rowv = jax.lax.dynamic_index_in_dim(a, r, 0, keepdims=False)
+        cand2 = jnp.where((rows >= k) & (rows < n) & (rows != r),
+                          jnp.abs(rowv), jnp.full((M,), -1.0, rdt))
+        rowmax = jnp.maximum(jnp.max(cand2), 0.0)
+        arr = jnp.abs(jax.lax.dynamic_index_in_dim(rowv, r, 0,
+                                                   keepdims=False))
+
+        no_piv = colmax <= 0  # singular column: 1x1 with whatever is there
+        t11_a = absakk >= _BK_ALPHA * colmax
+        t11_b = absakk * rowmax >= _BK_ALPHA * colmax * colmax
+        t11_c = arr >= _BK_ALPHA * rowmax
+        is11 = no_piv | t11_a | t11_b | t11_c
+        do_swap = ~(no_piv | t11_a | t11_b) & (
+            jnp.where(is11, r != k, r != k + 1))
+        swap_pos = jnp.where(is11, k, k + 1)
+
+        a_sw = jax.lax.cond(do_swap & active,
+                            lambda op: _swap_sym_full(op[0], op[1], op[2]),
+                            lambda op: op[0], (a, swap_pos, r))
+        perm = jax.lax.cond(
+            do_swap & active,
+            lambda p: p.at[swap_pos].set(p[r]).at[r].set(p[swap_pos]),
+            lambda p: p, perm)
+
+        def piv1(a):
+            d = jax.lax.dynamic_index_in_dim(
+                jax.lax.dynamic_index_in_dim(a, k, 1, keepdims=False),
+                k, 0, keepdims=False)
+            safe = jnp.where(d == 0, jnp.ones((), a.dtype), d)
+            c = jax.lax.dynamic_index_in_dim(a, k, 1, keepdims=False)
+            below = (rows > k) & (rows < n)
+            l = jnp.where(below, c / safe, jnp.zeros_like(c))
+            # trailing -= d l l^H  (masked to rows/cols > k)
+            upd = d * jnp.outer(l, tr(l))
+            a = a - upd
+            # write the packed column: L below, d on the diagonal
+            newc = jnp.where(below, l, jnp.zeros_like(c))
+            newc = newc.at[k].set(d)
+            a = jax.lax.dynamic_update_index_in_dim(a, newc[:, None], k, 1)
+            # zero the processed row right of the diagonal (keep packed
+            # lower form; the trailing block stays Hermitian)
+            rowk = jax.lax.dynamic_index_in_dim(a, k, 0, keepdims=False)
+            rowk = jnp.where(rows > k, jnp.zeros_like(rowk), rowk)
+            a = jax.lax.dynamic_update_index_in_dim(a, rowk[None, :], k, 0)
+            return a
+
+        def piv2(a):
+            c0 = jax.lax.dynamic_index_in_dim(a, k, 1, keepdims=False)
+            c1 = jax.lax.dynamic_index_in_dim(a, k + 1, 1, keepdims=False)
+            d1 = c0[k]
+            e = c0[k + 1]     # A[k+1, k]
+            d2 = c1[k + 1]
+            det = d1 * d2 - e * tr(e)
+            safe_det = jnp.where(det == 0, jnp.ones((), a.dtype), det)
+            below = (rows > k + 1) & (rows < n)
+            w0 = jnp.where(below, c0, jnp.zeros_like(c0))
+            w1 = jnp.where(below, c1, jnp.zeros_like(c1))
+            # L = W inv(D2), inv(D2) = [[d2, -conj(e)], [-e, d1]] / det
+            l0 = (w0 * d2 - w1 * e) / safe_det
+            l1 = (w1 * d1 - w0 * tr(e)) / safe_det
+            # trailing -= W inv(D2) W^H = L W^H (rank-2)
+            upd = jnp.outer(l0, tr(w0)) + jnp.outer(l1, tr(w1))
+            a = a - upd
+            newc0 = jnp.where(below, l0, jnp.zeros_like(l0)).at[k].set(d1)
+            newc1 = jnp.where(below, l1, jnp.zeros_like(l1)) \
+                .at[k + 1].set(d2)
+            a = jax.lax.dynamic_update_index_in_dim(a, newc0[:, None], k, 1)
+            a = jax.lax.dynamic_update_index_in_dim(a, newc1[:, None],
+                                                    k + 1, 1)
+            # clean rows k, k+1 right of their diagonal; keep e at
+            # [k+1, k] OUT of the packed L (stored in dSub instead)
+            rowk = jax.lax.dynamic_index_in_dim(a, k, 0, keepdims=False)
+            rowk = jnp.where(rows > k, jnp.zeros_like(rowk), rowk)
+            a = jax.lax.dynamic_update_index_in_dim(a, rowk[None, :], k, 0)
+            rk1 = jax.lax.dynamic_index_in_dim(a, k + 1, 0, keepdims=False)
+            rk1 = jnp.where((rows > k + 1) | (rows == k),
+                            jnp.zeros_like(rk1), rk1)
+            rk1 = rk1.at[k].set(jnp.zeros((), a.dtype))
+            a = jax.lax.dynamic_update_index_in_dim(a, rk1[None, :], k + 1, 0)
+            return a, e
+
+        def do_active(a_sub):
+            a, sub = a_sub
+
+            def b1(a):
+                return piv1(a), sub
+
+            def b2(a):
+                a2, e = piv2(a)
+                return a2, sub.at[k].set(e)
+
+            return jax.lax.cond(is11, b1, b2, a)
+
+        a_new, sub_new = jax.lax.cond(
+            active, do_active, lambda x: x, (a_sw, sub))
+        k_new = k + jnp.where(active, jnp.where(is11, 1, 2), 0)
+        return a_new, sub_new, perm, k_new
+
+    perm0 = jnp.arange(M, dtype=jnp.int32)
+    sub0 = jnp.zeros((M,), a.dtype)
+    a_f, sub_f, perm_f, _ = jax.lax.fori_loop(
+        0, n, body, (a, sub0, perm0, jnp.zeros((), jnp.int32)))
+    a_f = jnp.where((i == j2) & (i >= n), jnp.zeros((), a_f.dtype), a_f)
+    F = Af.with_data(Af.mask_padding(jnp.tril(a_f)))
+    return F, sub_f[:M - 1] if M > 1 else sub_f[:0], perm_f
+
+
+def SolveAfterPivoted(F: DistMatrix, dSub: jax.Array, perm: jax.Array,
+                      B: DistMatrix, conjugate: bool = True) -> DistMatrix:
+    """Solve A X = B from a Bunch-Kaufman factorization P A P^T = L D L^H
+    (reference: LDL/dense/SolveAfter.hpp pivoted path): permute, two
+    unit-triangular solves around a quasi-diagonal solve, un-permute."""
+    from ..blas.level1 import QuasiDiagonalSolve
+
+    Bm = B.redistribute(MC, MR)
+    Pb = Bm.with_data(jnp.take(Bm.data, perm, axis=0))
+    Y = Trsm(LEFT, LOWER, NORMAL, UNIT, 1.0, F, Pb)
+    d = jnp.diagonal(F.redistribute(MC, MR).data)
+    # padding diagonal entries are zero after stripping — make them 1 so
+    # the quasi-diagonal solve cannot produce 0/0 in the padding rows
+    idx = jnp.arange(d.shape[0])
+    d = jnp.where(idx < F.m, d, jnp.ones((), d.dtype))
+    Y = QuasiDiagonalSolve(LEFT, LOWER, d, dSub, Y.redistribute(MC, MR),
+                           conjugated=conjugate)
+    orient = ADJOINT if conjugate else TRANSPOSE
+    Y = Trsm(LEFT, LOWER, orient, UNIT, 1.0, F, Y)
+    inv = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(perm.shape[0], dtype=perm.dtype))
+    Yd = Y.redistribute(MC, MR)
+    return Yd.with_data(jnp.take(Yd.data, inv, axis=0))

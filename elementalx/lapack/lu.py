@@ -91,14 +91,23 @@ def _getrf_tall(sl: jax.Array) -> Tuple[jax.Array, jax.Array]:
     slu, _, sperm = jax.lax.linalg.lu(stack)
     win = jnp.take(cand, sperm, axis=0, unique_indices=True)  # (nc*w,)
     P = win[:w]
+    # A padded zero row can only win the tournament over an exactly
+    # singular panel; remap any winner >= Mt onto an unused real row so
+    # lperm stays a permutation of [0, Mt) (the factorization is
+    # already rank-deficient there — validity of the permutation is
+    # what matters).
+    pad_win = P >= Mt
+    inP0 = jnp.zeros((Mp,), bool).at[P].set(True)
+    free = jnp.nonzero(~inP0[:Mt], size=Mt, fill_value=Mt - 1)[0]
+    repl = jnp.clip(jnp.cumsum(pad_win.astype(jnp.int32)) - 1, 0, Mt - 1)
+    P = jnp.where(pad_win, free[repl].astype(P.dtype), P)
     U = jnp.triu(slu[:w, :])
     # L for every row: A U^{-1} (unit on the pivot rows by construction)
     from ..blas.trinv import tri_inv_upper
 
     L_all = local_gemm(sl, tri_inv_upper(U))
     # composed permutation: winners first (tournament order), then the
-    # remaining REAL rows in ascending original order (padded zero rows
-    # can only win over an exactly-singular panel; they are dropped)
+    # remaining REAL rows in ascending original order
     inP = jnp.zeros((Mp,), bool).at[P].set(True)
     rest = jnp.nonzero(
         ~inP[:Mt], size=Mt - w, fill_value=Mt - 1)[0].astype(jnp.int32)

@@ -268,7 +268,7 @@ def OneNormPseudospectra(A: DistMatrix, real_bounds, imag_bounds,
     Hager-Higham estimator (reference: Pseudospectra/HagerHigham.hpp and
     the psCtrl.norm == PS_ONE_NORM drivers). sigma_min_map holds the
     reciprocal estimate for plotting symmetry with the 2-norm portraits."""
-    dec = Schur(A, want_vecs=False, alg=schur_alg)
+    dec = Schur(A, want_vecs=False, alg=schur_alg, form="complex")
     n = A.m
     T = dec.T.replicated()[:n, :n]
     re = jnp.linspace(real_bounds[0], real_bounds[1], real_size)
@@ -291,7 +291,7 @@ def Pseudospectra(A: DistMatrix,
     (reference: TriangularPseudospectra / general drivers,
     Pseudospectra.cpp; alg='power' or 'lanczos' mirroring the
     Pseudospectra/{Power,Lanczos}.hpp kernels)."""
-    dec = Schur(A, want_vecs=False, alg=schur_alg)
+    dec = Schur(A, want_vecs=False, alg=schur_alg, form="complex")
     n = A.m
     T = dec.T.replicated()[:n, :n]
     re = jnp.linspace(real_bounds[0], real_bounds[1], real_size)

@@ -288,12 +288,31 @@ def _aed(T, Z, l, m, w, want_vecs, eps) -> Tuple[int, np.ndarray]:
     eigenvalues to use as shifts). Updates T, Z in place."""
     k0 = m - w
     Hw = T[k0:m, k0:m].copy()
-    # the window eigensolve recurses with proportionally smaller AED
-    # windows (bottoming out in plain sweeps below ~3*16) — the window
-    # solves dominate the driver's cost otherwise
+    beta = T[k0, k0 - 1]
+    try:
+        from ..native import complex_aed_native
+
+        # full window-local native AED (zlaqr3 role): window Schur +
+        # reorder + spike elimination + re-Hessenberg accumulated into
+        # W; apply W to the off-window strips here as GEMMs
+        Tw, W, d, gamma, shifts = complex_aed_native(Hw, beta, eps)
+        T[k0:m, k0:m] = Tw
+        if k0 > 0:
+            T[:k0, k0:m] = T[:k0, k0:m] @ W
+        if m < T.shape[0]:
+            T[k0:m, m:] = np.conj(W.T) @ T[k0:m, m:]
+        if want_vecs:
+            Z[:, k0:m] = Z[:, k0:m] @ W
+        T[k0:m, k0 - 1] = 0.0
+        T[k0, k0 - 1] = gamma
+        return d, shifts
+    except RuntimeError:
+        pass
+    # numpy fallback: the window eigensolve recurses with proportionally
+    # smaller AED windows (bottoming out in plain sweeps below ~3*16) —
+    # the window solves dominate the driver's cost otherwise
     Tw, Zw = _hessenberg_qr_host(Hw, True, use_aed=True,
                                  aed_window=max(8, w // 4))
-    beta = T[k0, k0 - 1]
     scale = max(np.max(np.abs(np.diag(Tw))), abs(beta), 1e-300)
     # Braman-Byers-Mathias reordering: test window eigenvalues bottom-up;
     # undeflatable ones are swapped to the top of the window so the
@@ -366,9 +385,9 @@ def _hessenberg_qr_host(H: np.ndarray, want_vecs: bool,
     if aed_window is None:
         # LAPACK-style size scaling: larger deflation windows (and hence
         # bigger multibulge shift packets) for larger problems; capped —
-        # oversized windows make the window solves and the sweeps' strip
-        # GEMMs dominate (measured knee ~96 at n=1000)
-        aed_window = int(max(32, min(96, n // 6)))
+        # oversized windows make the native window solves dominate
+        # (measured knee ~64 at n=1000 with the native AED)
+        aed_window = int(max(32, min(64, n // 6)))
     T = H.astype(np.complex128).copy()
     Z = np.eye(n, dtype=np.complex128)
     eps = np.finfo(np.float64).eps
@@ -395,6 +414,26 @@ def _hessenberg_qr_host(H: np.ndarray, want_vecs: bool,
                 l = k
                 break
         win = m - l
+        if win > 1 and win <= _NATIVE_QR_CUTOFF:
+            # the whole active window fits the native kernel: solve it
+            # there and apply the window similarity to the off-window
+            # strips as GEMMs (avoids O(win) numpy Givens sweeps)
+            try:
+                from ..native import hess_qr_native
+
+                Tw, Zw = hess_qr_native(np.ascontiguousarray(T[l:m, l:m]),
+                                        True, max_sweeps_per_eig)
+                T[l:m, l:m] = Tw
+                if m < n:
+                    T[l:m, m:] = np.conj(Zw.T) @ T[l:m, m:]
+                if l > 0:
+                    T[:l, l:m] = T[:l, l:m] @ Zw
+                if want_vecs:
+                    Z[:, l:m] = Z[:, l:m] @ Zw
+                m = l
+                continue
+            except RuntimeError:
+                pass
         if use_aed and win > 3 * aed_window and win > 48:
             w = min(aed_window, win - 1)
             d, shifts = _aed(T, Z, l, m, w, want_vecs, eps)
@@ -421,10 +460,41 @@ class SchurDecomposition(NamedTuple):
     w: jax.Array        # eigenvalues (diag of T)
 
 
-def Schur(A: DistMatrix, want_vecs: bool = True, alg: str = "qr"
-          ) -> SchurDecomposition:
-    """Complex Schur decomposition A = Z T Z^H
-    (reference: spectral/Schur.cpp driver)."""
+class QuasiSchurDecomposition(NamedTuple):
+    """Real Schur form A = Z T Z^T: T real quasi-upper-triangular with
+    standardized 1x1/2x2 diagonal blocks, Z real orthogonal. Eigenvalues
+    come back as separate real/imaginary parts so the whole result stays
+    in real dtypes (the attached-TPU tunnel cannot move complex
+    buffers)."""
+    T: DistMatrix
+    Z: DistMatrix
+    wr: jax.Array
+    wi: jax.Array
+
+    @property
+    def w(self):
+        import numpy as _np
+
+        return _np.asarray(self.wr) + 1j * _np.asarray(self.wi)
+
+
+def Schur(A: DistMatrix, want_vecs: bool = True, alg: str = "qr",
+          form: str = "auto"):
+    """Schur decomposition (reference: spectral/Schur.cpp driver).
+
+    Real input (form="auto"/"real") produces the REAL quasi-triangular
+    Schur form A = Z T Z^T with standardized 1x1/2x2 blocks — matching
+    the reference's real HessenbergSchur — as a QuasiSchurDecomposition
+    whose factors stay in real dtypes end-to-end (TPU-transferable).
+    Complex input, or form="complex", produces the complex triangular
+    form A = Z T Z^H."""
+    real_input = not jnp.iscomplexobj(A.data)
+    if form == "auto":
+        form = "real" if (real_input and alg == "qr") else "complex"
+    if form == "real":
+        if not real_input:
+            raise ValueError("form='real' requires a real matrix")
+        return _schur_real_form(A, want_vecs)
     if alg == "sdc":
         return _schur_sdc(A, want_vecs)
     n = A.m
@@ -455,6 +525,38 @@ def Schur(A: DistMatrix, want_vecs: bool = True, alg: str = "qr"
     Zdm = DistMatrix.from_padded(Zd, n, n, MC, MR, A.grid, A.wrap)
     Zdm = Zdm.with_data(Zdm.mask_padding(Zdm.data))
     return SchurDecomposition(Tdm, Zdm, w)
+
+
+def _schur_real_form(A: DistMatrix, want_vecs: bool
+                     ) -> QuasiSchurDecomposition:
+    """Real quasi-triangular Schur form via on-device real Hessenberg
+    reduction + the host real AED/multibulge QR iteration
+    (reference: spectral/HessenbergSchur/ real path). T and Z stay in
+    A's real dtype; eigenvalues return as (wr, wi)."""
+    from .schur_real import hessenberg_qr_real_host, quasi_eigvals
+
+    n = A.m
+    fact = Hessenberg(LOWER, A)
+    Hd = np.asarray(jax.device_get(fact.packed.data))[:n, :n]
+    Hh = np.triu(Hd.astype(np.float64), -1)
+    T, Zh = hessenberg_qr_real_host(Hh, want_vecs)
+    wr, wi = quasi_eigvals(T)
+    np_dt = np.float64 if fact.packed.dtype == jnp.float64 else np.float32
+    Tdm = DistMatrix.from_global(jnp.asarray(T.astype(np_dt)), MC, MR,
+                                 A.grid)
+    wr_j = jnp.asarray(wr.astype(np_dt))
+    wi_j = jnp.asarray(wi.astype(np_dt))
+    if not want_vecs:
+        return QuasiSchurDecomposition(Tdm, None, wr_j, wi_j)
+    # backtransform: Z = Q_hess * Z_qr (all real, on device)
+    M = fact.packed.data.shape[0]
+    dt = fact.packed.dtype
+    Zfull = jnp.zeros((M, M), dt)
+    Zfull = Zfull.at[:n, :n].set(jnp.asarray(Zh.astype(np_dt)))
+    Zd = hessenberg_apply_q(fact, Zfull, adjoint=False)
+    Zdm = DistMatrix.from_padded(Zd, n, n, MC, MR, A.grid, A.wrap)
+    Zdm = Zdm.with_data(Zdm.mask_padding(Zdm.data))
+    return QuasiSchurDecomposition(Tdm, Zdm, wr_j, wi_j)
 
 
 def _schur_sdc(A: DistMatrix, want_vecs: bool, min_block: int = 32,
@@ -541,10 +643,77 @@ def TriangEig(T: DistMatrix) -> DistMatrix:
     return DistMatrix.from_global(X, MC, MR, T.grid)
 
 
-def QuasiTriangEig(T: DistMatrix) -> DistMatrix:
-    """Reference: spectral/QuasiTriangEig.cpp. The library produces
-    complex Schur forms (no 2x2 real blocks), so this is TriangEig."""
-    return TriangEig(T)
+def QuasiTriangEig(T: DistMatrix, split: bool = False):
+    """Eigenvectors of a real quasi-upper-triangular matrix (real Schur
+    form; reference: spectral/QuasiTriangEig.cpp). For each eigenvalue
+    the shifted matrix is a complex quasi-Hessenberg matrix with the
+    SAME isolated couplings, so each column solves by the disjoint-Givens
+    pre-elimination (blas/quasi.py) + one batched triangular solve —
+    all columns vmapped. Complex triangular input degrades to TriangEig.
+
+    Returns a complex DistMatrix, or with ``split=True`` a pair
+    (XR, XI) of real DistMatrices (TPU-transferable)."""
+    n = T.m
+    Td = T.replicated()[:n, :n]
+    if jnp.iscomplexobj(Td):
+        X = TriangEig(T)
+        if split:
+            return (X.with_data(jnp.real(X.data)),
+                    X.with_data(jnp.imag(X.data)))
+        return X
+    from .schur_real import block_starts, quasi_eigvals
+    from ..blas.quasi import _quasi_factor, rot_rows
+
+    Th = np.asarray(jax.device_get(Td)).astype(np.float64)
+    wr, wi = quasi_eigvals(Th)
+    lam = wr + 1j * wi
+    cuts = np.zeros(n, np.int32)
+    B = np.zeros((n, n), np.complex128)  # per-eigenvalue RHS (block vec)
+    for k, sz in block_starts(Th):
+        if sz == 1:
+            cuts[k] = k
+            B[k, k] = 1.0
+        else:
+            t11, t12 = Th[k, k], Th[k, k + 1]
+            t21, t22 = Th[k + 1, k], Th[k + 1, k + 1]
+            lam1 = lam[k]
+            # eigenvector of the standardized 2x2 for lam1 = p + iq
+            if abs(t12) >= abs(t21):
+                a, b = t12, lam1 - t11
+            else:
+                a, b = lam1 - t22, t21
+            nv = np.hypot(abs(a), abs(b))
+            a, b = a / nv, b / nv
+            cuts[k] = k
+            cuts[k + 1] = k
+            B[k, k], B[k + 1, k] = a, b
+            B[k, k + 1], B[k + 1, k + 1] = np.conj(a), np.conj(b)
+    cdt = jnp.complex128 if Td.dtype == jnp.float64 else jnp.complex64
+    Tc = jnp.asarray(Th).astype(cdt)
+    lam_j = jnp.asarray(lam).astype(cdt)
+    cuts_j = jnp.asarray(cuts)
+    B_j = jnp.asarray(B).astype(cdt)
+    rows = jnp.arange(n)
+    eye = jnp.eye(n, dtype=cdt)
+
+    def one(lam1, cut, b):
+        before = (rows < cut)[:, None]
+        M = jnp.where(before, Tc - lam1 * eye, eye)
+        c, s, R = _quasi_factor(M)
+        y = rot_rows(c, s, b[:, None])
+        x = jax.lax.linalg.triangular_solve(
+            R, y, left_side=True, lower=False)[:, 0]
+        nx = jnp.sqrt(jnp.sum(jnp.abs(x) ** 2))
+        return x / jnp.where(nx == 0, 1, nx)
+
+    X = jax.vmap(one, in_axes=(0, 0, 1), out_axes=1)(lam_j, cuts_j, B_j)
+    if split:
+        XR = DistMatrix.from_global(jnp.real(X).astype(Td.dtype), MC, MR,
+                                    T.grid)
+        XI = DistMatrix.from_global(jnp.imag(X).astype(Td.dtype), MC, MR,
+                                    T.grid)
+        return XR, XI
+    return DistMatrix.from_global(X, MC, MR, T.grid)
 
 
 class EigDecomposition(NamedTuple):
@@ -552,10 +721,23 @@ class EigDecomposition(NamedTuple):
     X: DistMatrix
 
 
-def Eig(A: DistMatrix, want_vecs: bool = True, alg: str = "qr"):
-    """General (non-Hermitian) eigendecomposition via Schur + TriangEig
-    (reference: spectral/Eig.cpp)."""
-    dec = Schur(A, want_vecs=want_vecs, alg=alg)
+def Eig(A: DistMatrix, want_vecs: bool = True, alg: str = "qr",
+        form: str = "auto"):
+    """General (non-Hermitian) eigendecomposition via Schur +
+    (Quasi)TriangEig (reference: spectral/Eig.cpp). Real input routes
+    through the real quasi-triangular Schur form; eigenvalues/vectors
+    are complex either way."""
+    dec = Schur(A, want_vecs=want_vecs, alg=alg, form=form)
+    if isinstance(dec, QuasiSchurDecomposition):
+        w = jnp.asarray(dec.w)
+        if not want_vecs:
+            return w
+        Y = QuasiTriangEig(dec.T)
+        X = Gemm(NORMAL, NORMAL, 1.0,
+                 dec.Z.with_data(dec.Z.data.astype(Y.dtype)), Y)
+        nx = jnp.sqrt(jnp.sum(jnp.abs(X.data) ** 2, axis=0))
+        X = X.with_data(X.data / jnp.where(nx == 0, 1, nx)[None, :])
+        return EigDecomposition(w, X)
     if not want_vecs:
         return dec.w
     Y = TriangEig(dec.T)
@@ -589,9 +771,40 @@ def _swap_adjacent(T: np.ndarray, Z, k: int) -> None:
         Z[:, k:k + 2] = Z[:, k:k + 2] @ G
 
 
-def SchurSwap(dec: SchurDecomposition, k: int) -> SchurDecomposition:
-    """Swap adjacent eigenvalues k, k+1 of a Schur decomposition
+def _quasi_from_np(dec, T, Z):
+    from .schur_real import quasi_eigvals
+
+    wr, wi = quasi_eigvals(T)
+    dt = np.float64 if dec.T.dtype == jnp.float64 else np.float32
+    Tdm = DistMatrix.from_global(jnp.asarray(T.astype(dt)), MC, MR,
+                                 dec.T.grid)
+    Zdm = None if Z is None else DistMatrix.from_global(
+        jnp.asarray(Z.astype(dt)), MC, MR, dec.T.grid)
+    return QuasiSchurDecomposition(Tdm, Zdm, jnp.asarray(wr.astype(dt)),
+                                   jnp.asarray(wi.astype(dt)))
+
+
+def SchurSwap(dec, k: int):
+    """Swap adjacent eigenvalues (or, for the real quasi form, the
+    adjacent diagonal BLOCKS meeting at row k) of a Schur decomposition
     (reference: spectral/Schur/SchurSwap)."""
+    if isinstance(dec, QuasiSchurDecomposition):
+        from .schur_real import _swap_blocks_np, block_starts
+
+        n = dec.T.m
+        T = np.asarray(jax.device_get(dec.T.data)).astype(
+            np.float64)[:n, :n].copy()
+        Z = None if dec.Z is None else np.asarray(
+            jax.device_get(dec.Z.data)).astype(np.float64)[:n, :n].copy()
+        blocks = dict(block_starts(T))
+        if k not in blocks:
+            raise ValueError(f"row {k} is not a block boundary")
+        p = blocks[k]
+        q = blocks.get(k + p)
+        if q is None:
+            raise ValueError(f"no block follows position {k}")
+        _swap_blocks_np(T, Z, k, p, q, Z is not None)
+        return _quasi_from_np(dec, T, Z)
     n = dec.T.m
     T = np.asarray(jax.device_get(dec.T.data))[:n, :n].copy()
     Z = None if dec.Z is None else \
@@ -603,10 +816,48 @@ def SchurSwap(dec: SchurDecomposition, k: int) -> SchurDecomposition:
     return SchurDecomposition(Tdm, Zdm, jnp.diagonal(jnp.asarray(T)))
 
 
-def ReorderSchur(dec: SchurDecomposition, select) -> SchurDecomposition:
+def ReorderSchur(dec, select):
     """Move the selected eigenvalues to the leading diagonal positions by
-    adjacent swaps (LAPACK ztrsen's reordering role; enables deflating-
-    subspace extraction from the QR-iteration path)."""
+    adjacent swaps (LAPACK ztrsen's/dtrsen's reordering role; enables
+    deflating-subspace extraction from the QR-iteration path). For the
+    real quasi form, 2x2 blocks move as units — a block is selected when
+    any of its rows is selected."""
+    if isinstance(dec, QuasiSchurDecomposition):
+        from .schur_real import _swap_blocks_np, block_starts
+
+        n = dec.T.m
+        T = np.asarray(jax.device_get(dec.T.data)).astype(
+            np.float64)[:n, :n].copy()
+        Z = None if dec.Z is None else np.asarray(
+            jax.device_get(dec.Z.data)).astype(np.float64)[:n, :n].copy()
+        sel = np.asarray(select, bool).copy()
+        top = 0
+        while True:
+            blocks = block_starts(T)
+            moved = False
+            for bi, (k, sz) in enumerate(blocks):
+                if k < top:
+                    continue
+                if sel[k:k + sz].any():
+                    # bubble this block up to `top` by adjacent swaps
+                    for j in range(bi - 1, -1, -1):
+                        ak, asz = blocks[j][0], blocks[j][1]
+                        if ak < top:
+                            break
+                        _swap_blocks_np(T, Z, ak, asz, sz, Z is not None)
+                        # keep the selection mask aligned with the rows
+                        blk_sel = sel[ak + asz:ak + asz + sz].copy()
+                        ab_sel = sel[ak:ak + asz].copy()
+                        sel[ak:ak + sz] = blk_sel
+                        sel[ak + sz:ak + sz + asz] = ab_sel
+                        blocks[j] = (ak, sz)
+                        blocks[j + 1] = (ak + sz, asz)
+                    top += sz
+                    moved = True
+                    break
+            if not moved:
+                break
+        return _quasi_from_np(dec, T, Z)
     n = dec.T.m
     T = np.asarray(jax.device_get(dec.T.data))[:n, :n].copy()
     Z = None if dec.Z is None else \

@@ -51,6 +51,8 @@ def SVD(A: DistMatrix, alg: str = "qdwh", nb: int = 128
         return U, s, V
     if alg == "gkl":
         return _gkl_svd(A)
+    if alg == "dc":
+        return _gkl_svd(A, solver="dc")
     if m > n:
         # Chan reduction: A = Q R, then SVD of the square R
         from .qr import ExplicitQR
@@ -84,15 +86,19 @@ def HermitianSVD(uplo, A: DistMatrix):
     return Qs, s[order], V
 
 
-def _gkl_svd(A: DistMatrix):
+def _gkl_svd(A: DistMatrix, solver: str = "bisect"):
     """Golub-Kahan path: Bidiag + SVD of the bidiagonal via the
     Golub-Kahan tridiagonal embedding ([0 B; B^H 0] permuted to a
     tridiagonal with zero diagonal), solved by the batched bisection
-    tridiagonal eigensolver (reference architecture: Bidiag + BidiagSVD,
-    spectral/BidiagSVD.cpp)."""
+    tridiagonal eigensolver, or with ``solver='dc'`` by the device-side
+    divide-and-conquer with secular merges (reference architecture:
+    Bidiag + BidiagSVD, spectral/BidiagSVD.cpp and its DCCtrl path).""" 
     from .condense import Bidiag
     from .reflect import ApplyPackedReflectors
-    from .tridiag_eig import tridiag_eig
+    if solver == "dc":
+        from .tridiag_dc_device import tridiag_eig_dc_device as tridiag_eig
+    else:
+        from .tridiag_eig import tridiag_eig
 
     m, n = A.m, A.n
     fact = Bidiag(A)

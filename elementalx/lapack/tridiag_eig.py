@@ -263,6 +263,11 @@ def HermitianTridiagEig(d: jax.Array, e: jax.Array, vectors: bool = True,
     """El-style driver (reference: HermitianTridiagEig.cpp). backend
     'native' uses the C++ host solver (native/elx_tridiag.cpp, the pmrrr
     replacement) — eager-only; 'jax' is the batched on-device solver."""
+    if backend == "dc_device":
+        from .tridiag_dc_device import tridiag_eig_dc_device
+
+        w, Z = tridiag_eig_dc_device(d, e)
+        return (w, Z) if vectors else w
     if backend == "dc":
         from .tridiag_dc import HermitianTridiagEigDC
 

@@ -43,13 +43,27 @@ def _build() -> bool:
             return False
 
 
+def _stale() -> bool:
+    """True when any source is newer than the built library."""
+    try:
+        so_t = os.path.getmtime(_SO)
+        for f in os.listdir(_SRC):
+            if f.endswith(".cpp") and \
+                    os.path.getmtime(os.path.join(_SRC, f)) > so_t:
+                return True
+    except OSError:
+        pass
+    return False
+
+
 def _load():
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO) and not _build():
-        return None
+    if (not os.path.exists(_SO) or _stale()) and not _build():
+        if not os.path.exists(_SO):
+            return None
     try:
         lib = ctypes.CDLL(_SO)
         lib.elx_tridiag_eig.restype = ctypes.c_int
@@ -76,6 +90,40 @@ def _load():
             ctypes.c_int,
             ctypes.c_int,
         ]
+        if hasattr(lib, "elx_hess_qr_real"):
+            lib.elx_hess_qr_real.restype = ctypes.c_int
+            lib.elx_hess_qr_real.argtypes = [
+                ctypes.c_int,
+                np.ctypeslib.ndpointer(np.float64, flags="C"),
+                np.ctypeslib.ndpointer(np.float64, flags="C"),
+                ctypes.c_int,
+                ctypes.c_int,
+            ]
+        if hasattr(lib, "elx_real_aed"):
+            lib.elx_real_aed.restype = ctypes.c_int
+            lib.elx_real_aed.argtypes = [
+                ctypes.c_int,
+                np.ctypeslib.ndpointer(np.float64, flags="C"),
+                np.ctypeslib.ndpointer(np.float64, flags="C"),
+                ctypes.c_double,
+                ctypes.c_double,
+                ctypes.c_double,
+                np.ctypeslib.ndpointer(np.float64, flags="C"),
+                np.ctypeslib.ndpointer(np.float64, flags="C"),
+            ]
+        if hasattr(lib, "elx_complex_aed"):
+            lib.elx_complex_aed.restype = ctypes.c_int
+            lib.elx_complex_aed.argtypes = [
+                ctypes.c_int,
+                np.ctypeslib.ndpointer(np.complex128, flags="C"),
+                np.ctypeslib.ndpointer(np.complex128, flags="C"),
+                ctypes.c_double,
+                ctypes.c_double,
+                ctypes.c_double,
+                ctypes.c_double,
+                np.ctypeslib.ndpointer(np.float64, flags="C"),
+                np.ctypeslib.ndpointer(np.float64, flags="C"),
+            ]
         _lib = lib
     except OSError:
         _lib = None
@@ -127,6 +175,73 @@ def hess_qr_native(H: np.ndarray, want_vecs: bool = True,
     if rc != 0:
         raise RuntimeError(f"elx_hess_qr rc={rc}")
     return T, (Z if want_vecs else None)
+
+
+def hess_qr_real_native(H: np.ndarray, want_vecs: bool = True,
+                        max_sweeps_per_eig: int = 40
+                        ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Serial REAL Hessenberg QR with Francis double shifts (dlahqr-role):
+    returns the quasi-triangular real Schur factor (standardized 1x1/2x2
+    diagonal blocks). Raises RuntimeError if unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "elx_hess_qr_real"):
+        raise RuntimeError("native real hess_qr unavailable")
+    n = H.shape[0]
+    T = np.ascontiguousarray(H, np.float64).copy()
+    Z = np.zeros((n, n) if want_vecs else (1, 1), np.float64)
+    rc = lib.elx_hess_qr_real(n, T.reshape(-1), Z.reshape(-1),
+                              int(want_vecs), int(max_sweeps_per_eig))
+    if rc != 0:
+        raise RuntimeError(f"elx_hess_qr_real rc={rc}")
+    return T, (Z if want_vecs else None)
+
+
+def real_aed_native(Hw: np.ndarray, beta: float, eps: float,
+                    scale0: float = 0.0
+                    ) -> Tuple[np.ndarray, np.ndarray, int, float, np.ndarray]:
+    """Full native real AED window processing: window Schur, bottom-up
+    per-block spike deflation with orthogonal block swaps, spike
+    elimination and re-Hessenberg of the kept block — all window-local.
+    Returns (Tw, W, n_deflated, gamma, shifts): apply W to the off-window strips
+    and write ``gamma`` into the spike column head."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "elx_real_aed"):
+        raise RuntimeError("native real AED unavailable")
+    w = Hw.shape[0]
+    T = np.ascontiguousarray(Hw, np.float64).copy()
+    Z = np.zeros((w, w), np.float64)
+    g = np.zeros(1, np.float64)
+    sh = np.zeros(2 * w, np.float64)
+    d = lib.elx_real_aed(w, T.reshape(-1), Z.reshape(-1),
+                         float(beta), float(eps), float(scale0), g, sh)
+    if d < 0:
+        raise RuntimeError("elx_real_aed failed")
+    kept = w - d
+    shifts = sh[:kept] + 1j * sh[w:w + kept]
+    return T, Z, int(d), float(g[0]), shifts
+
+
+def complex_aed_native(Hw: np.ndarray, beta: complex, eps: float,
+                       scale0: float = 0.0
+                       ) -> Tuple[np.ndarray, np.ndarray, int, complex, np.ndarray]:
+    """Full native complex AED window processing (zlaqr3 role); see
+    ``real_aed_native``. Returns (Tw, W, n_deflated, gamma, shifts)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "elx_complex_aed"):
+        raise RuntimeError("native complex AED unavailable")
+    w = Hw.shape[0]
+    T = np.ascontiguousarray(Hw, np.complex128).copy()
+    Z = np.zeros((w, w), np.complex128)
+    g = np.zeros(2, np.float64)
+    sh = np.zeros(2 * w, np.float64)
+    d = lib.elx_complex_aed(w, T.reshape(-1), Z.reshape(-1),
+                            float(np.real(beta)), float(np.imag(beta)),
+                            float(eps), float(scale0), g, sh)
+    if d < 0:
+        raise RuntimeError("elx_complex_aed failed")
+    kept = w - d
+    shifts = sh[:kept] + 1j * sh[w:w + kept]
+    return T, Z, int(d), complex(g[0], g[1]), shifts
 
 
 def amd_order(colptr: np.ndarray, rowind: np.ndarray, n: int) -> np.ndarray:

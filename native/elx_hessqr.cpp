@@ -18,10 +18,20 @@ using C = std::complex<double>;
 inline double cabs1(const C& v) { return std::abs(v); }
 }  // namespace
 
+namespace {
+int complex_qr_core(int n, C* T, C* Z, int want_vecs,
+                    int max_sweeps_per_eig);
+}
+
 extern "C" int elx_hess_qr(int n, void* Tv, void* Zv, int want_vecs,
                            int max_sweeps_per_eig) {
-    C* T = static_cast<C*>(Tv);
-    C* Z = static_cast<C*>(Zv);
+    return complex_qr_core(n, static_cast<C*>(Tv), static_cast<C*>(Zv),
+                           want_vecs, max_sweeps_per_eig);
+}
+
+namespace {
+int complex_qr_core(int n, C* T, C* Z, int want_vecs,
+                    int max_sweeps_per_eig) {
     auto t = [&](int i, int j) -> C& { return T[(size_t)i * n + j]; };
     auto z = [&](int i, int j) -> C& { return Z[(size_t)i * n + j]; };
     if (want_vecs) {
@@ -107,4 +117,169 @@ extern "C" int elx_hess_qr(int n, void* Tv, void* Zv, int want_vecs,
     for (int i = 1; i < n; ++i)
         for (int j = 0; j < i; ++j) t(i, j) = 0.0;
     return (its >= budget && m > 1) ? 1 : 0;
+}
+
+// Swap adjacent eigenvalues T[k,k], T[k+1,k+1] of a complex upper
+// triangular T by a unitary similarity (ztrexc's Givens step).
+void cswap_adjacent(int n, C* T, C* W, int k) {
+    auto t = [&](int i, int j) -> C& { return T[(size_t)i * n + j]; };
+    auto wv = [&](int i, int j) -> C& { return W[(size_t)i * n + j]; };
+    const C a = t(k, k), b = t(k, k + 1), c = t(k + 1, k + 1);
+    const C v0 = b, v1 = c - a;
+    const double nrm = std::hypot(std::abs(v0), std::abs(v1));
+    if (nrm == 0.0) return;
+    const C cs = v0 / nrm, sn = v1 / nrm;
+    // G = [[cs, -conj(sn)], [sn, conj(cs)]]; T := G^H T G
+    for (int j = 0; j < n; ++j) {
+        const C x = t(k, j), y = t(k + 1, j);
+        t(k, j) = std::conj(cs) * x + std::conj(sn) * y;
+        t(k + 1, j) = -sn * x + cs * y;
+    }
+    for (int i = 0; i < n; ++i) {
+        const C x = t(i, k), y = t(i, k + 1);
+        t(i, k) = cs * x + sn * y;
+        t(i, k + 1) = -std::conj(sn) * x + std::conj(cs) * y;
+    }
+    t(k + 1, k) = 0.0;
+    for (int i = 0; i < n; ++i) {
+        const C x = wv(i, k), y = wv(i, k + 1);
+        wv(i, k) = cs * x + sn * y;
+        wv(i, k + 1) = -std::conj(sn) * x + std::conj(cs) * y;
+    }
+}
+
+}  // namespace
+
+// Complete complex AED window processing (the zlaqr3 role): Schur-solve
+// the w x w Hessenberg window (in Tv, overwritten), test spike entries
+// bottom-up, bubble undeflatable eigenvalues to the window top by
+// unitary swaps, eliminate the surviving spike with a Householder, and
+// re-Hessenberg the kept block — ALL window-local, accumulating the
+// combined unitary into Wv. The caller applies Wv to the off-window
+// strips as GEMMs and writes gamma into the spike column head.
+// Returns the number of deflated rows (trailing), or -1 on failure.
+// shifts_out: 2*w doubles; [0,w) real parts, [w,2w) imaginary parts of
+// the KEPT window eigenvalues (captured before spike elimination).
+extern "C" int elx_complex_aed(int w, void* Tv, void* Wv, double beta_r,
+                               double beta_i, double eps, double scale0,
+                               double* gamma_out, double* shifts_out) {
+    C* T = static_cast<C*>(Tv);
+    C* W = static_cast<C*>(Wv);
+    auto t = [&](int i, int j) -> C& { return T[(size_t)i * w + j]; };
+    auto wv = [&](int i, int j) -> C& { return W[(size_t)i * w + j]; };
+    if (complex_qr_core(w, T, W, 1, 40) != 0) return -1;
+    const C beta(beta_r, beta_i);
+    double scale = scale0;
+    for (int i = 0; i < w; ++i) scale = std::max(scale, std::abs(t(i, i)));
+    scale = std::max(scale, std::abs(beta));
+    // bottom-up deflation tests; undeflatable entries bubble to the top
+    int u = 0;
+    int k = w - 1;
+    while (k >= u) {
+        const C s = beta * std::conj(wv(0, k));
+        if (std::abs(s) <= eps * std::max(std::abs(t(k, k)), scale)) {
+            --k;
+        } else {
+            for (int j = k - 1; j >= u; --j) cswap_adjacent(w, T, W, j);
+            ++u;
+        }
+    }
+    const int d = w - u;
+    const int kept = u;
+    for (int i = 0; i < kept; ++i) {
+        shifts_out[i] = t(i, i).real();
+        shifts_out[w + i] = t(i, i).imag();
+    }
+    gamma_out[0] = 0.0;
+    gamma_out[1] = 0.0;
+    if (kept > 0) {
+        // Householder on the kept spike s[0:kept] -> gamma e1
+        static thread_local C v[8192];
+        if (kept > 8192) return -1;
+        double nrm2 = 0.0;
+        for (int i = 0; i < kept; ++i) {
+            v[i] = beta * std::conj(wv(0, i));
+            nrm2 += std::norm(v[i]);
+        }
+        const double nrm = std::sqrt(nrm2);
+        C gamma = 0.0;
+        if (nrm > 0.0) {
+            const double a0 = std::abs(v[0]);
+            const C sign = a0 > 0.0 ? v[0] / a0 : C(1.0);
+            gamma = -sign * nrm;
+            v[0] -= gamma;
+            double vn2 = 0.0;
+            for (int i = 0; i < kept; ++i) vn2 += std::norm(v[i]);
+            if (vn2 > 0.0) {
+                const double tau = 2.0 / vn2;
+                // T := H T (rows 0..kept), T := T H (cols 0..kept)
+                for (int j = 0; j < w; ++j) {
+                    C s2 = 0.0;
+                    for (int i = 0; i < kept; ++i)
+                        s2 += std::conj(v[i]) * t(i, j);
+                    s2 *= tau;
+                    for (int i = 0; i < kept; ++i) t(i, j) -= s2 * v[i];
+                }
+                for (int i = 0; i < w; ++i) {
+                    C s2 = 0.0;
+                    for (int j = 0; j < kept; ++j) s2 += t(i, j) * v[j];
+                    s2 *= tau;
+                    for (int j = 0; j < kept; ++j)
+                        t(i, j) -= s2 * std::conj(v[j]);
+                }
+                for (int i = 0; i < w; ++i) {
+                    C s2 = 0.0;
+                    for (int j = 0; j < kept; ++j) s2 += wv(i, j) * v[j];
+                    s2 *= tau;
+                    for (int j = 0; j < kept; ++j)
+                        wv(i, j) -= s2 * std::conj(v[j]);
+                }
+            }
+        } else {
+            gamma = 0.0;
+        }
+        gamma_out[0] = gamma.real();
+        gamma_out[1] = gamma.imag();
+        // re-Hessenberg the kept block (full similarity, window-local)
+        for (int col = 0; col + 2 < kept; ++col) {
+            double nn = 0.0;
+            for (int i = col + 1; i < kept; ++i) nn += std::norm(t(i, col));
+            const double cn = std::sqrt(nn);
+            if (cn == 0.0) continue;
+            const double a0 = std::abs(t(col + 1, col));
+            const C sign = a0 > 0.0 ? t(col + 1, col) / a0 : C(1.0);
+            const C bet = -sign * cn;
+            const int len = kept - (col + 1);
+            for (int i = 0; i < len; ++i) v[i] = t(col + 1 + i, col);
+            v[0] -= bet;
+            double vn2 = 0.0;
+            for (int i = 0; i < len; ++i) vn2 += std::norm(v[i]);
+            if (vn2 == 0.0) continue;
+            const double tau = 2.0 / vn2;
+            for (int j = 0; j < w; ++j) {
+                C s2 = 0.0;
+                for (int i = 0; i < len; ++i)
+                    s2 += std::conj(v[i]) * t(col + 1 + i, j);
+                s2 *= tau;
+                for (int i = 0; i < len; ++i) t(col + 1 + i, j) -= s2 * v[i];
+            }
+            for (int i = 0; i < w; ++i) {
+                C s2 = 0.0;
+                for (int j = 0; j < len; ++j) s2 += t(i, col + 1 + j) * v[j];
+                s2 *= tau;
+                for (int j = 0; j < len; ++j)
+                    t(i, col + 1 + j) -= s2 * std::conj(v[j]);
+            }
+            for (int i = 0; i < w; ++i) {
+                C s2 = 0.0;
+                for (int j = 0; j < len; ++j) s2 += wv(i, col + 1 + j) * v[j];
+                s2 *= tau;
+                for (int j = 0; j < len; ++j)
+                    wv(i, col + 1 + j) -= s2 * std::conj(v[j]);
+            }
+            t(col + 1, col) = bet;
+            for (int i = col + 2; i < kept; ++i) t(i, col) = 0.0;
+        }
+    }
+    return d;
 }

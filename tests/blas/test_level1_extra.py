@@ -147,8 +147,12 @@ def test_quasi_diagonal(rng, g):
     xc, Xc = _mk(rng, g, 3, n, np.complex128)
     Yr = L1.QuasiDiagonalScale(RIGHT, LOWER, jnp.asarray(dc),
                                jnp.asarray(sc), Xc, conjugated=True)
-    np.testing.assert_allclose(np.asarray(Yr.global_array()), xc @ Dh.T,
+    np.testing.assert_allclose(np.asarray(Yr.global_array()), xc @ Dh,
                                atol=1e-12)
+    Zr = L1.QuasiDiagonalSolve(RIGHT, LOWER, jnp.asarray(dc),
+                               jnp.asarray(sc), Xc, conjugated=True)
+    np.testing.assert_allclose(np.asarray(Zr.global_array()),
+                               xc @ np.linalg.inv(Dh), atol=1e-12)
 
 
 def test_new_generators(rng, g):

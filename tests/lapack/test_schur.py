@@ -12,6 +12,18 @@ from elementalx.lapack.pseudospectra import Pseudospectra
 from elementalx.lapack.secular import SecularEVD
 
 
+def _greedy_eig_match(wref, w):
+    used = np.zeros(len(wref), bool)
+    worst = 0.0
+    for wi in w:
+        dist = np.abs(wref - wi)
+        dist[used] = np.inf
+        k = np.argmin(dist)
+        used[k] = True
+        worst = max(worst, dist[k])
+    return worst
+
+
 @pytest.mark.parametrize("complex_", [False, True], ids=["real", "cplx"])
 def test_schur_qr(grid, rng, complex_):
     n = 24
@@ -19,7 +31,7 @@ def test_schur_qr(grid, rng, complex_):
     if complex_:
         a = a + 1j * rng.standard_normal((n, n))
     A = DistMatrix.from_global(a, grid=grid)
-    dec = Schur(A)
+    dec = Schur(A, form="complex")
     T = dec.T.global_array()
     Z = dec.Z.global_array()
     assert np.allclose(T, np.triu(T))
@@ -29,16 +41,72 @@ def test_schur_qr(grid, rng, complex_):
     # greedy matching (sort_complex mispairs conjugate eigenvalues whose
     # real parts differ only in the last ulp)
     wref = np.linalg.eigvals(a)
-    w = np.asarray(dec.w)
-    used = np.zeros(n, bool)
-    worst = 0.0
-    for wi in w:
-        dist = np.abs(wref - wi)
-        dist[used] = np.inf
-        k = np.argmin(dist)
-        used[k] = True
-        worst = max(worst, dist[k])
+    worst = _greedy_eig_match(wref, np.asarray(dec.w))
     assert worst / np.max(np.abs(wref)) < 1e-10
+
+
+def test_schur_real_form(grid, rng):
+    """Real input defaults to the REAL quasi-triangular Schur form
+    (reference: spectral/HessenbergSchur/ real path): T real with
+    standardized 1x1/2x2 blocks, Z real orthogonal, A = Z T Z^T."""
+    from elementalx.lapack.schur import QuasiSchurDecomposition
+
+    n = 48
+    a = rng.standard_normal((n, n))
+    A = DistMatrix.from_global(a, grid=grid)
+    dec = Schur(A)
+    assert isinstance(dec, QuasiSchurDecomposition)
+    T = dec.T.global_array()
+    Z = dec.Z.global_array()
+    assert not np.iscomplexobj(T) and not np.iscomplexobj(Z)
+    # quasi-triangular: zero below the first subdiagonal; no two adjacent
+    # subdiagonal nonzeros; 2x2 blocks standardized
+    assert np.abs(np.tril(T, -2)).max() < 1e-12
+    sub = np.abs(np.diag(T, -1)) > 0
+    assert not np.any(sub[:-1] & sub[1:])
+    k = 0
+    while k < n - 1:
+        if T[k + 1, k] != 0:
+            assert abs(T[k, k] - T[k + 1, k + 1]) < 1e-5 * max(
+                1, abs(T[k, k]))
+            assert T[k, k + 1] * T[k + 1, k] < 0
+            k += 2
+        else:
+            k += 1
+    assert np.linalg.norm(np.eye(n) - Z.T @ Z) < 1e-12
+    assert np.linalg.norm(Z @ T @ Z.T - a) / np.linalg.norm(a) < 1e-12
+    wref = np.linalg.eigvals(a)
+    worst = _greedy_eig_match(wref, dec.w)
+    assert worst / np.max(np.abs(wref)) < 1e-8
+
+
+def test_quasi_triang_eig(grid, rng):
+    """Eigenvectors from the real quasi form (reference:
+    spectral/QuasiTriangEig.cpp)."""
+    from elementalx.lapack.schur import QuasiTriangEig
+
+    n = 32
+    a = rng.standard_normal((n, n))
+    dec = Schur(DistMatrix.from_global(a, grid=grid))
+    T = dec.T.global_array()
+    X = QuasiTriangEig(dec.T).global_array()
+    lam = dec.w
+    for j in range(n):
+        r = T @ X[:, j] - lam[j] * X[:, j]
+        assert np.linalg.norm(r) < 1e-8, (j, np.linalg.norm(r))
+    # split form returns real planes
+    XR, XI = QuasiTriangEig(dec.T, split=True)
+    np.testing.assert_allclose(XR.global_array() + 1j * XI.global_array(),
+                               X, atol=1e-12)
+
+
+def test_eig_real_via_quasi(grid, rng):
+    n = 20
+    a = rng.standard_normal((n, n))
+    w, X = El.lapack.Eig(DistMatrix.from_global(a, grid=grid))
+    w, x = np.asarray(w), X.global_array()
+    res = np.linalg.norm(a @ x - x * w[None, :]) / np.linalg.norm(a)
+    assert res < 1e-8, f"eigpair residual {res}"
 
 
 def test_eig_general(grid, rng):
@@ -98,7 +166,7 @@ def test_schur_swap_and_reorder(grid, rng):
     n = 10
     a = rng.standard_normal((n, n))
     A = DistMatrix.from_global(a, grid=grid)
-    dec = Schur(A)
+    dec = Schur(A, form="complex")
     w0 = np.asarray(dec.w).copy()
     # swap positions 2, 3
     dec2 = SchurSwap(dec, 2)
