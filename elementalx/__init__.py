@@ -27,6 +27,11 @@ if not _os.environ.get("ELEMENTALX_NO_PRECISION_OVERRIDE"):
 # attached-TPU tunnel compiles slowly; cached programs make reruns fast.
 # Opt out with ELEMENTALX_NO_COMPILE_CACHE=1.
 _platforms = _os.environ.get("JAX_PLATFORMS", "").lower()
+# a script may pin the platform via jax.config BEFORE importing
+# elementalx (the only override the axon plugin respects) — honour it
+_cfg_platforms = str(getattr(_jax.config, "jax_platforms", "") or "").lower()
+if _cfg_platforms:
+    _platforms = _cfg_platforms
 if not _os.environ.get("ELEMENTALX_NO_COMPILE_CACHE") and \
         _platforms and "cpu" not in _platforms:
     # Cache ONLY when a non-CPU platform is explicitly named (axon/tpu

@@ -86,7 +86,7 @@ def _batched_diag_inv(T: jax.Array, nb: int, nblk: int, lower: bool
 
 
 def _left_solve(T: jax.Array, B: jax.Array, lower: bool, nb: int,
-                precision=None) -> jax.Array:
+                precision=None, opcast=None) -> jax.Array:
     """Solve T X = B for triangular T (already prepped), blocked.
 
     Recursive halving (exact FLOPs, log-depth shape diversity): split
@@ -101,7 +101,8 @@ def _left_solve(T: jax.Array, B: jax.Array, lower: bool, nb: int,
     truncation matches the bf16 storage accuracy already accepted."""
     if T.dtype in (jnp.bfloat16, jnp.float16):
         out = _left_solve(T.astype(jnp.float32), B.astype(jnp.float32),
-                          lower, nb, precision=jax.lax.Precision.DEFAULT)
+                          lower, nb, precision=jax.lax.Precision.DEFAULT,
+                          opcast=T.dtype)
         return out.astype(B.dtype)
     M = T.shape[0]
     # cap the block count: the axon tunnel's remote-compile payload
@@ -110,21 +111,29 @@ def _left_solve(T: jax.Array, B: jax.Array, lower: bool, nb: int,
     nb = _pick_nb(M, max(nb, -(-M // 32)))
     nblk = M // nb
     tri_inv = _batched_diag_inv(T, nb, nblk, lower)
+    acc = T.dtype
+
+    def mm(a, b):
+        # opcast (see _right_solve_adjoint_lower): bf16 operand reads at
+        # half the HBM bytes, accumulation stays in the carrier dtype
+        if opcast is not None:
+            return jnp.matmul(a.astype(opcast), b.astype(opcast),
+                              precision=jax.lax.Precision.DEFAULT,
+                              preferred_element_type=acc)
+        return local_gemm(a, b, precision=precision)
 
     def rec(k_lo: int, k_hi: int, Bp: jax.Array) -> jax.Array:
         if k_hi - k_lo == 1:
-            return local_gemm(tri_inv[k_lo], Bp, precision=precision)
+            return mm(tri_inv[k_lo], Bp)
         k_mid = (k_lo + k_hi) // 2
         lo0, mid0, hi0 = k_lo * nb, k_mid * nb, k_hi * nb
         if lower:
             X1 = rec(k_lo, k_mid, Bp[: mid0 - lo0])
-            R2 = Bp[mid0 - lo0:] - local_gemm(T[mid0:hi0, lo0:mid0], X1,
-                                              precision=precision)
+            R2 = Bp[mid0 - lo0:] - mm(T[mid0:hi0, lo0:mid0], X1)
             X2 = rec(k_mid, k_hi, R2)
         else:
             X2 = rec(k_mid, k_hi, Bp[mid0 - lo0:])
-            R1 = Bp[: mid0 - lo0] - local_gemm(T[lo0:mid0, mid0:hi0], X2,
-                                               precision=precision)
+            R1 = Bp[: mid0 - lo0] - mm(T[lo0:mid0, mid0:hi0], X2)
             X1 = rec(k_lo, k_mid, R1)
         return jnp.concatenate([X1, X2], axis=0)
 

@@ -90,3 +90,118 @@ def RefinedHPDSolve(uplo, A: DistMatrix, b: np.ndarray, iters: int = 5
                   (np.finfo(np.float64).eps * n
                    * max(np.max(np.abs(bcol)), 1e-300)))
     return (x if b.ndim > 1 else x[:, 0]), resid
+
+
+def RefinedHermitianEig(uplo, A: DistMatrix, iters: int = 3,
+                        cluster_tol: float = None
+                        ) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Refine the f32 on-chip eigendecomposition of a real symmetric /
+    Hermitian A to ~f64 accuracy (reference target: BASELINE.md
+    HermitianEig 'matching residuals'; VERDICT r1 item 9).
+
+    Method: compute (w, Q) in working precision on the MXU, then iterate
+    simultaneous Rayleigh-quotient + preconditioned-inverse-iteration
+    corrections for ALL eigenpairs at once:
+
+        R   = A V - V diag(lam)          (Ozaki extended precision)
+        lam = diag(V^H A V) / diag(V^H V)  (Rayleigh, extended)
+        D   = -Q [ W .* (Q^H R) ],  W_ij = 1/(w_i - lam_j) (0 on the
+              own/clustered poles)
+        V  <- colnormalize(V + D)
+
+    Every heavy op is an MXU matmul; the f32 eigenbasis serves as the
+    spectral preconditioner, so each sweep contracts the eigenvector
+    error by ~eps_f32 * gap-conditioning. Clustered eigenvalues share a
+    zeroed preconditioner block and are re-orthonormalized by a final
+    Gram (Cholesky-QR) pass in extended precision.
+
+    Returns (w64, V64, worst scaled residual)."""
+    from .hermitian_eig import HermitianEig
+
+    n = A.m
+    w, Q = HermitianEig(uplo, A, vectors=True)
+    a64 = np.asarray(A.global_array(), np.float64)
+    herm = np.iscomplexobj(a64)
+    V = np.asarray(Q.global_array(), np.float64 if not herm
+                   else np.complex128)
+    w32 = np.asarray(w, np.float64)
+    scale = max(np.max(np.abs(w32)), 1e-300)
+    if cluster_tol is None:
+        cluster_tol = 64 * np.finfo(np.float32).eps * scale
+    lam = w32.copy()
+    for _ in range(iters):
+        AV = matmul_f64_emulated(a64, V) if not herm else (
+            matmul_f64_emulated(a64.real, V.real)
+            - matmul_f64_emulated(a64.imag, V.imag)
+            + 1j * (matmul_f64_emulated(a64.real, V.imag)
+                    + matmul_f64_emulated(a64.imag, V.real)))
+        nrm2 = np.sum(np.abs(V) ** 2, axis=0)
+        lam = np.real(np.sum(np.conj(V) * AV, axis=0)) / nrm2
+        R = AV - V * lam[None, :]
+        QtR = np.conj(V.T) @ R  # current basis as preconditioner frame
+        gap = w32[:, None] - lam[None, :]
+        Wmat = np.where(np.abs(gap) <= cluster_tol, 0.0,
+                        1.0 / np.where(np.abs(gap) <= cluster_tol, 1.0,
+                                       gap))
+        D = -V @ (Wmat * QtR)
+        V = V + D
+        V /= np.sqrt(np.sum(np.abs(V) ** 2, axis=0))[None, :]
+        # clustered eigenvalues: the preconditioner suppresses
+        # intra-cluster corrections, so refine the CLUSTER SUBSPACE by a
+        # small Rayleigh-Ritz rotation (B = V_c^H A V_c, eigh, rotate) —
+        # the subspace itself is well-conditioned even when individual
+        # vectors are not
+        so = np.argsort(lam)
+        gaps = np.diff(lam[so])
+        brk = np.where(gaps > cluster_tol)[0]
+        start = 0
+        for end in list(brk + 1) + [n]:
+            idx = so[start:end]
+            start = end
+            if idx.shape[0] < 2:
+                continue
+            Vc = V[:, idx]
+            AVc = matmul_f64_emulated(a64, Vc) if not herm else (
+                matmul_f64_emulated(a64.real, Vc.real)
+                - matmul_f64_emulated(a64.imag, Vc.imag)
+                + 1j * (matmul_f64_emulated(a64.real, Vc.imag)
+                        + matmul_f64_emulated(a64.imag, Vc.real)))
+            Bc = np.conj(Vc.T) @ AVc
+            Bc = 0.5 * (Bc + np.conj(Bc.T))
+            ww, Sc = np.linalg.eigh(Bc)
+            V[:, idx] = Vc @ Sc
+            lam[idx] = ww
+    # re-orthonormalize (CholeskyQR in extended precision): essential
+    # for clustered eigenvalues whose corrections were suppressed
+    G = np.conj(V.T) @ V
+    Lc = np.linalg.cholesky(G)
+    V = np.linalg.solve(Lc.conj(), V.T).T if herm else \
+        np.linalg.solve(Lc, V.T).T
+    AV = matmul_f64_emulated(a64, V) if not herm else (
+        matmul_f64_emulated(a64.real, V.real)
+        - matmul_f64_emulated(a64.imag, V.imag)
+        + 1j * (matmul_f64_emulated(a64.real, V.imag)
+                + matmul_f64_emulated(a64.imag, V.real)))
+    lam = np.real(np.sum(np.conj(V) * AV, axis=0))
+    # final intra-cluster Rayleigh-Ritz on the ORTHONORMALIZED basis:
+    # the Gram pass may rotate within near-degenerate subspaces, so the
+    # in-cluster eigenbasis must be re-established last
+    so = np.argsort(lam)
+    gaps = np.diff(lam[so])
+    brk = np.where(gaps > cluster_tol)[0]
+    start = 0
+    for end in list(brk + 1) + [n]:
+        idx = so[start:end]
+        start = end
+        if idx.shape[0] < 2:
+            continue
+        Bc = np.conj(V[:, idx].T) @ AV[:, idx]
+        Bc = 0.5 * (Bc + np.conj(Bc.T))
+        ww, Sc = np.linalg.eigh(Bc)
+        V[:, idx] = V[:, idx] @ Sc
+        AV[:, idx] = AV[:, idx] @ Sc
+        lam[idx] = ww
+    resid = np.max(np.abs(AV - V * lam[None, :])) / (
+        np.finfo(np.float64).eps * n * scale)
+    order = np.argsort(lam)
+    return lam[order], V[:, order], float(resid)

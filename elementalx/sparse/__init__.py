@@ -12,3 +12,7 @@ from .ldl import (  # noqa: F401
     SparseLDLFactorization,
     SolveAfter,
 )
+from .supernodal import (  # noqa: F401
+    SupernodalLDLFactorization,
+    SupernodalSymbolic,
+)

@@ -100,10 +100,20 @@ def _column_structs(colptr, rowind, n, parent) -> List[np.ndarray]:
     return [np.asarray(sorted(s), np.int64) for s in structs]
 
 
-def SparseLDL(S: SparseMatrix, ordering: str = "amd"
-              ) -> SparseLDLFactorization:
+def SparseLDL(S: SparseMatrix, ordering: str = "amd",
+              supernodal: bool = True, grid=None):
     """Factor P A P^T = L D L^T (unpivoted; valid for SPD and
-    quasi-definite matrices — the IPM regime the reference targets)."""
+    quasi-definite matrices — the IPM regime the reference targets).
+
+    ``supernodal=True`` (default) uses the level-batched supernodal
+    multifrontal engine (sparse/supernodal.py) whose fronts factor as
+    vmapped device batches — the column-at-a-time path below remains as
+    the reference implementation and fallback."""
+    if supernodal:
+        from .supernodal import factor as _sn_factor
+
+        g = grid if grid is not None else getattr(S, "grid", None)
+        return _sn_factor(S, ordering, grid=g)
     from ..native import amd_order
 
     n = S.n
@@ -183,9 +193,13 @@ def SparseLDL(S: SparseMatrix, ordering: str = "amd"
                                    for x in lvals], d)
 
 
-def SolveAfter(fact: SparseLDLFactorization, b: np.ndarray) -> np.ndarray:
+def SolveAfter(fact, b: np.ndarray) -> np.ndarray:
     """Solve A x = b from the multifrontal factorization (reference:
     numeric/ solve sweeps over the elimination tree)."""
+    from .supernodal import SupernodalLDLFactorization, solve as _sn_solve
+
+    if isinstance(fact, SupernodalLDLFactorization):
+        return _sn_solve(fact, b)
     b = np.asarray(b)
     squeeze = b.ndim == 1
     if squeeze:

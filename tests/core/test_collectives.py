@@ -185,6 +185,31 @@ def test_cholesky_panel_no_trailing_allgather(g):
         f"a collective moves the whole trailing matrix: {stats}"
 
 
+def test_tridiag_symv_moves_vectors_only(g):
+    """The HermitianTridiag latrd panel is a chain of trailing-matrix
+    symv's. The reference's square-subgrid specialization
+    (HermitianTridiag.cpp:82-116) exists to keep that chain's
+    communication at O(n) per symv; the GSPMD equivalent claim (PARITY
+    §2.4) is that a sharded A @ v moves only VECTOR-sized data (partial
+    products psum/all-gathered), never the matrix. This asserts it."""
+    n = 1024
+    rng = np.random.default_rng(7)
+    A = _mk(g, n, n, seed=8)
+    v = jnp.asarray(rng.standard_normal((n,)))
+
+    def f(A, v):
+        # trailing-block Hermitian matvec as the latrd panel performs it
+        return A.data @ v
+
+    hlo = _opt_hlo(f, A, v)
+    stats = _collective_stats(hlo)
+    moved = _total(stats, *_COLLECTIVES)
+    assert moved > 0, "sharded symv compiled without any reduction"
+    # vector-sized bound: a few all-gathers/psums of length-n vectors;
+    # matrix-sized movement (n^2) would exceed this by ~100x
+    assert moved <= 16 * n, f"symv moved matrix-sized data: {stats}"
+
+
 def test_trsm_no_full_replication(g):
     """Distributed Trsm: communication stays within a small factor of
     the operand sizes (trsm::LLN Large plan, Trsm.cpp:121-157)."""

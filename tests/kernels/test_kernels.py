@@ -171,3 +171,49 @@ def test_symv_lower_trailing_junk_columns(rng, monkeypatch):
                                      bs)
     np.testing.assert_allclose(np.asarray(got), herm[k0:, k0:] @ v,
                                rtol=2e-5, atol=1e-3)
+
+
+def test_refined_hermitian_eig(grid, rng):
+    """Eigenpair refinement to ~f64 grade from the f32 working-precision
+    decomposition (VERDICT r1 item 9; BASELINE 'matching residuals')."""
+    from elementalx.lapack.refine import RefinedHermitianEig
+    from elementalx import DistMatrix
+    from elementalx.core.types import LOWER
+    import jax.numpy as jnp
+
+    n = 96
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    a = (a + a.T) / 2
+    A = DistMatrix.from_global(jnp.asarray(a), grid=grid)
+    w, V, resid = RefinedHermitianEig(LOWER, A, iters=3)
+    a64 = np.asarray(a, np.float64)
+    wref = np.linalg.eigvalsh(a64)
+    assert np.abs(w - wref).max() < 1e-10 * max(1, np.abs(wref).max())
+    r = np.abs(a64 @ V - V * w[None, :]).max()
+    scaled = r / (np.finfo(np.float64).eps * n * np.abs(wref).max())
+    assert scaled < 100, f"scaled residual {scaled}"
+    assert np.abs(V.T @ V - np.eye(n)).max() < 1e-12
+
+
+def test_refined_hermitian_eig_clustered(grid, rng):
+    """Clustered spectrum: the preconditioner suppresses intra-cluster
+    corrections; the final extended-precision Gram pass must still give
+    orthogonal vectors and f64-grade residuals."""
+    from elementalx.lapack.refine import RefinedHermitianEig
+    from elementalx import DistMatrix
+    from elementalx.core.types import LOWER
+    import jax.numpy as jnp
+
+    n = 64
+    d = np.concatenate([np.full(8, 1.0), np.full(8, 1.0 + 3e-7),
+                        np.linspace(2, 10, n - 16)])
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    a = (q * d[None, :]) @ q.T
+    a = ((a + a.T) / 2).astype(np.float32)
+    A = DistMatrix.from_global(jnp.asarray(a), grid=grid)
+    w, V, resid = RefinedHermitianEig(LOWER, A, iters=3)
+    a64 = np.asarray(a, np.float64)
+    r = np.abs(a64 @ V - V * w[None, :]).max()
+    scaled = r / (np.finfo(np.float64).eps * n * np.abs(w).max())
+    assert scaled < 100, f"scaled residual {scaled}"
+    assert np.abs(V.T @ V - np.eye(n)).max() < 1e-11
