@@ -71,16 +71,20 @@ def _prep_triangle(T: jax.Array, m: int, lower: bool, unit: bool) -> jax.Array:
     return T
 
 
-def _batched_diag_inv(T: jax.Array, nb: int, nblk: int, lower: bool
-                      ) -> jax.Array:
+def _batched_diag_inv(T: jax.Array, nb: int, nblk: int, lower: bool,
+                      compute_dtype=None) -> jax.Array:
     """Batched inverses of the nb x nb diagonal blocks: log-depth
     batched partitioned inversion (blas/trinv.py) instead of XLA's
-    substitution-lowered TriangularSolve."""
+    substitution-lowered TriangularSolve. ``compute_dtype`` casts the
+    sliced blocks up (for low-precision-storage T) without touching the
+    rest of the matrix."""
     from .trinv import tri_inv_lower, tri_inv_upper
 
     ks = jnp.arange(nblk) * nb
     blocks = jax.vmap(
         lambda k0: jax.lax.dynamic_slice(T, (k0, k0), (nb, nb)))(ks)
+    if compute_dtype is not None and blocks.dtype != compute_dtype:
+        blocks = blocks.astype(compute_dtype)
     inv = tri_inv_lower if lower else tri_inv_upper
     return jax.vmap(inv)(blocks)
 
@@ -153,16 +157,26 @@ def _right_solve_adjoint_lower(T: jax.Array, B: jax.Array, nb: int,
     DEFAULT matmul precision on f32 carriers (the MXU truncates operands
     to bf16 either way) but with half the operand HBM traffic, which is
     what sets the rate for these bandwidth-bound panel solves."""
-    if T.dtype in (jnp.bfloat16, jnp.float16):
+    low_T = T.dtype in (jnp.bfloat16, jnp.float16)
+    if low_T and B.dtype == T.dtype:
         out = _right_solve_adjoint_lower(
             T.astype(jnp.float32), B.astype(jnp.float32), nb,
             precision=jax.lax.Precision.DEFAULT, opcast=T.dtype)
         return out.astype(B.dtype)
+    # mixed mode (low-precision T, f32 carrier B — the Cholesky
+    # recursion reading factor blocks straight from its bf16 output
+    # buffer): off-diagonal T slabs feed the DEFAULT-precision matmuls
+    # directly at half the HBM bytes; only the nb x nb diagonal blocks
+    # are cast up for the (accuracy-critical) batched inversion.
+    if low_T:
+        opcast = T.dtype
+        precision = jax.lax.Precision.DEFAULT
     M = T.shape[0]
     nb = _pick_nb(M, max(nb, -(-M // 32)))
     nblk = M // nb
-    tri_inv = _batched_diag_inv(T, nb, nblk, True)
-    acc = T.dtype
+    acc = B.dtype
+    tri_inv = _batched_diag_inv(T, nb, nblk, True,
+                                compute_dtype=acc if low_T else None)
 
     def mm(a, b):
         if opcast is not None:

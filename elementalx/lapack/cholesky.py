@@ -80,14 +80,16 @@ def _chol_lower_rec(a: jax.Array, nb: int, precision=None,
     # scalar-ish substitution on TPU)
     from ..blas.trsm import _right_solve_adjoint_lower
 
-    # full-square rank-k update: a lower-triangle-only blocked form was
-    # measured SLOWER on-chip (24.6 ms vs 17.3 ms at n=8192) — splitting
-    # the big MXU matmul costs more than the halved FLOPs save
     if store is not None:
-        l11f = l11.astype(a.dtype)
-        l21 = _right_solve_adjoint_lower(l11f, a21, nb,
-                                         precision=precision,
-                                         opcast=store).astype(store)
+        # bf16 storage: the trsm reads its triangular operand STRAIGHT
+        # from the storage-dtype l11 (mixed-mode solve, half the HBM
+        # bytes; measured 2 ms at N=16384 over casting l11 up) and the
+        # rank-k runs single-pass full-square — a lower-triangle-only
+        # 2x2 split was measured SLOWER here (40.5 vs 31.1 ms at 16384:
+        # splitting the 190 TF/s MXU matmul costs more than the saved
+        # flops)
+        l21 = _right_solve_adjoint_lower(l11, a21, nb,
+                                         precision=precision).astype(store)
         upd = jnp.matmul(l21, jnp.conj(l21.T),
                          precision=jax.lax.Precision.DEFAULT,
                          preferred_element_type=a.dtype)
@@ -95,7 +97,24 @@ def _chol_lower_rec(a: jax.Array, nb: int, precision=None,
     else:
         l21 = _right_solve_adjoint_lower(l11, a21, nb,
                                          precision=precision)
-        a22u = a22 - local_gemm(l21, jnp.conj(l21.T), precision=precision)
+        # f32/f64: matmuls run multi-pass (HIGH: bf16x3), so the 2x2
+        # block-triangular trailing update's 3/4-FLOPs beats the single
+        # full-square matmul once the blocks are MXU-sized
+        if n >= _TRI_UPDATE_MIN:
+            q = h // 2
+            p1, p2 = l21[:q], l21[q:]
+            b11 = a22[:q, :q] - local_gemm(p1, jnp.conj(p1.T),
+                                           precision=precision)
+            b21 = a22[q:, :q] - local_gemm(p2, jnp.conj(p1.T),
+                                           precision=precision)
+            b22 = a22[q:, q:] - local_gemm(p2, jnp.conj(p2.T),
+                                           precision=precision)
+            a22u = jnp.concatenate(
+                [jnp.concatenate([b11, a22[:q, q:]], axis=1),
+                 jnp.concatenate([b21, b22], axis=1)], axis=0)
+        else:
+            a22u = a22 - local_gemm(l21, jnp.conj(l21.T),
+                                    precision=precision)
     l22 = _chol_lower_rec(a22u, nb, precision, store)
     dt = l11.dtype
     top = jnp.concatenate([l11, jnp.zeros((h, n - h), dt)], axis=1)
@@ -103,15 +122,36 @@ def _chol_lower_rec(a: jax.Array, nb: int, precision=None,
     return jnp.concatenate([top, bot], axis=0)
 
 
+_TRI_UPDATE_MIN = 8192
+
 def _prep_hpd(A: DistMatrix, uplo: UpperOrLower) -> jax.Array:
     """Full Hermitian data with identity on the padding diagonal."""
     Af = MakeHermitian(uplo, A.redistribute(MC, MR))
-    d = Af.data
+    return _set_pad_diag(Af.data, A.m, 1)
+
+
+def _set_pad_diag(d: jax.Array, m: int, val) -> jax.Array:
+    """Set the padding diagonal (rows/cols >= m) to ``val`` via an
+    O(M - m) scatter — a full-matrix `where` pass at N=16384 costs
+    several ms of pure HBM bandwidth (measured, scratch/prof_chol2.py)."""
     M = d.shape[0]
-    i = jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
-    pad_diag = (i == j) & (i >= A.m)
-    return jnp.where(pad_diag, jnp.ones((), d.dtype), d)
+    if M <= m:
+        return d
+    idx = jnp.arange(m, M)
+    return d.at[idx, idx].set(jnp.asarray(val, d.dtype))
+
+
+def _prep_lower_tri(A: DistMatrix, uplo: UpperOrLower) -> jax.Array:
+    """Padded data whose LOWER triangle holds the Hermitian matrix and
+    whose padding diagonal is 1. Only the lower triangle is meaningful —
+    `_chol_lower_rec` never reads above the diagonal, so the reference's
+    full MakeHermitian pass (a transposed-read select over the whole
+    matrix, ~10 ms of HBM traffic at N=16384) is skipped for LOWER input
+    and replaced by one plain adjoint pass for UPPER input."""
+    d = A.redistribute(MC, MR).data
+    if uplo == UPPER:
+        d = jnp.conj(d.T)  # lower(d) <- conj(upper(A))
+    return _set_pad_diag(d, A.m, 1)
 
 
 def _strip_pad_diag(L: jax.Array, m: int) -> jax.Array:
@@ -135,7 +175,7 @@ def _cholesky_jit(uplo: UpperOrLower, A: DistMatrix,
         # (PERF.md): f32-HIGHEST wants 2048 (13.8 ms at n=8192);
         # bf16 single-pass updates want 1024 (4.4 ms at n=8192)
         nb = max(nb, 1024 if low_store else 2048)
-    d = _prep_hpd(A, uplo)
+    d = _prep_lower_tri(A, uplo)
     # low-precision storage factors through f32 carriers (XLA's Cholesky
     # has no bf16/f16 kernel; accumulation wants f32 anyway) with the L
     # blocks RETURNED in the storage dtype: the gemm operand reads and
@@ -144,13 +184,23 @@ def _cholesky_jit(uplo: UpperOrLower, A: DistMatrix,
     # the earlier DEFAULT-precision/f32-carrier scheme
     low = d.dtype in (jnp.bfloat16, jnp.float16)
     store = A.dtype if low else None
-    prec = jax.lax.Precision.DEFAULT if low else None
     if low:
+        prec = jax.lax.Precision.DEFAULT
         d = d.astype(jnp.float32)
+    elif d.dtype in (jnp.float32, jnp.complex64):
+        # f32 carriers: 3-pass bf16x3 panel/update matmuls (~f32-grade
+        # operand splitting; measured 1.64x over the library-default
+        # 6-pass HIGHEST on v5e) — f64/c128 keep the full default
+        prec = jax.lax.Precision.HIGH
+    else:
+        prec = None
     L = _chol_lower_rec(d, nb, prec, store)
-    L = _strip_pad_diag(L, A.m)
-    Ldm = A.redistribute(MC, MR).with_data(L)
-    Ldm = MakeTrapezoidal(LOWER, Ldm)
+    # the factor is already lower-trapezoidal by construction (XLA's
+    # cholesky trils its block; the concatenate tree places explicit
+    # zeros top-right) and its padding region is zero except the pad
+    # diagonal — so the exit cleanup is one O(M - m) scatter, not the
+    # two full-matrix masking passes the generic path would use
+    Ldm = A.redistribute(MC, MR).with_data(_set_pad_diag(L, A.m, 0))
     if uplo == LOWER:
         return Ldm
     from ..blas.level1 import Adjoint
@@ -252,13 +302,17 @@ def ReverseCholesky(uplo: UpperOrLower, A: DistMatrix,
     """Reverse factorization (LOWER: A = L^H L; reference:
     factor/Cholesky/ReverseLowerVariant3.hpp) via the flip trick:
     J A J = (J L^H J)(J L J) with J the exchange permutation."""
-    d = _prep_hpd(A, uplo)
+    # the flipped recursion reads lower(flip(d)) = upper(d): supply the
+    # UPPER triangle (one adjoint pass only for LOWER input)
+    d = A.redistribute(MC, MR).data
+    if uplo == LOWER:
+        d = jnp.conj(d.T)  # upper(d) <- conj(lower(A))
+    d = _set_pad_diag(d, A.m, 1)
     flipped = d[::-1, ::-1]
     nb = blocksize or Blocksize()
     Lf = _chol_lower_rec(flipped, nb)
     R = Lf[::-1, ::-1]  # upper triangular: A = R R^H (LOWER reverse: L^H L)
-    Rdm = A.redistribute(MC, MR).with_data(_strip_pad_diag(R, A.m))
-    Rdm = MakeTrapezoidal(UPPER, Rdm)
+    Rdm = A.redistribute(MC, MR).with_data(_set_pad_diag(R, A.m, 0))
     if uplo == UPPER:
         return Rdm
     from ..blas.level1 import Adjoint
