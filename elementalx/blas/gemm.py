@@ -69,6 +69,21 @@ def set_local_precision(p) -> None:
     _PRECISION = p
 
 
+def hot_precision(dtype):
+    """MXU precision for accuracy-tolerant hot-loop matmuls (trailing
+    updates, panel solves): single-pass for low-precision storage (the
+    operands are already truncated), bf16x3 operand splitting for
+    f32/c64 (~f32-grade; measured 1.64x over the 6-pass HIGHEST library
+    default on v5e — PERF.md Cholesky row), and the full library
+    default for f64/c128."""
+    dt = jnp.dtype(dtype)
+    if dt in (jnp.bfloat16, jnp.float16):
+        return jax.lax.Precision.DEFAULT
+    if dt in (jnp.float32, jnp.complex64):
+        return jax.lax.Precision.HIGH
+    return None
+
+
 def local_gemm(a: jax.Array, b: jax.Array, *, precision=None) -> jax.Array:
     """Local-block matmul on the MXU (the blas::Gemm/cublas::Gemm analogue,
     Gemm.cpp:83-160). bf16/f16 inputs accumulate in f32."""

@@ -37,7 +37,7 @@ from ..core.types import (
     UNIT,
     UPPER,
 )
-from ..blas.gemm import local_gemm
+from ..blas.gemm import hot_precision, local_gemm
 from ..blas.trinv import tri_inv_lower_unit
 from ..blas.trsm import Trsm
 from .perm import Permutation
@@ -52,7 +52,7 @@ def _swap_rows(a: jax.Array, i, j) -> jax.Array:
 
 _LU_PANEL_BASE = 16
 
-_SLAB_INNER = 128
+_SLAB_INNER = 512
 
 # XLA:TPU's LuDecompositionBlock custom-call stages the whole panel in
 # scoped VMEM; panels taller than ~8k rows overflow the 16 MB limit
@@ -60,7 +60,13 @@ _SLAB_INNER = 128
 # (10240,128)/(8192,*) compile; a vmapped batch of two 8192-row chunks
 # fails too, so the tournament factors its chunks SEQUENTIALLY).
 # Above this height the panel routes through the CALU-style tournament.
-_GETRF_CHUNK = 8192
+# The chunk height sits well BELOW the compile limit: the custom call
+# has a measured cost cliff above ~4k rows ((4096,256): ~0 ms,
+# (8192,256): 1.31 ms, (8192,512): 2.59 ms — scratch/prof_getrf.py),
+# so four sequential ~free 4096-row getrfs + a (4*w, w) playoff beat
+# one 8192-row call. Sequential beats vmapped batching here too
+# ((4x4096,256) vmapped: 3.07 ms).
+_GETRF_CHUNK = 4096
 
 
 def _getrf_tall(sl: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -105,7 +111,8 @@ def _getrf_tall(sl: jax.Array) -> Tuple[jax.Array, jax.Array]:
     # L for every row: A U^{-1} (unit on the pivot rows by construction)
     from ..blas.trinv import tri_inv_upper
 
-    L_all = local_gemm(sl, tri_inv_upper(U))
+    L_all = local_gemm(sl, tri_inv_upper(U),
+                       precision=hot_precision(sl.dtype))
     # composed permutation: winners first (tournament order), then the
     # remaining REAL rows in ascending original order
     inP = jnp.zeros((Mp,), bool).at[P].set(True)
@@ -141,6 +148,7 @@ def _lu_slab(sl: jax.Array) -> Tuple[jax.Array, jax.Array]:
     ib = _SLAB_INNER
     if w <= ib or w % ib != 0:
         return _getrf(sl)
+    hp = hot_precision(sl.dtype)
     rm = jnp.arange(Mt, dtype=jnp.int32)
     for t in range(w // ib):
         j0 = t * ib
@@ -156,9 +164,11 @@ def _lu_slab(sl: jax.Array) -> Tuple[jax.Array, jax.Array]:
         if rest <= 0:
             continue
         inv11 = tri_inv_lower_unit(lu[:ib, :])
-        U12 = local_gemm(inv11, sl[j0:j0 + ib, j0 + ib:])
+        U12 = local_gemm(inv11, sl[j0:j0 + ib, j0 + ib:],
+                         precision=hp)
         sl = jax.lax.dynamic_update_slice(sl, U12, (j0, j0 + ib))
-        A22 = sl[j0 + ib:, j0 + ib:] - local_gemm(lu[ib:, :], U12)
+        A22 = sl[j0 + ib:, j0 + ib:] - local_gemm(lu[ib:, :], U12,
+                                                  precision=hp)
         sl = jax.lax.dynamic_update_slice(sl, A22, (j0 + ib, j0 + ib))
     return sl, rm
 
@@ -322,6 +332,7 @@ def LU(A: DistMatrix, blocksize: Optional[int] = None
     # columns (O(M nb) per panel) and accepts ~1.5x trailing-matmul
     # FLOPs from full-height updates.
     low = a.dtype in (jnp.bfloat16, jnp.float16)
+    hp = hot_precision(a.dtype)
     rowmap = perm0
     N = a.shape[1]
     for k in range(nblk):
@@ -346,11 +357,11 @@ def LU(A: DistMatrix, blocksize: Optional[int] = None
         right = a[:, k0 + nb:]
         prow = tail[:nb]
         Arow = jnp.take(right, prow, axis=0, unique_indices=True)
-        U12 = local_gemm(inv11, Arow)
+        U12 = local_gemm(inv11, Arow, precision=hp)
         right = right.at[prow].set(U12, unique_indices=True)
         Lphys = jnp.zeros((M, nb), a.dtype).at[tail[nb:]].set(
             lu[nb:, :], unique_indices=True)
-        right = right - local_gemm(Lphys, U12)
+        right = right - local_gemm(Lphys, U12, precision=hp)
         a = jax.lax.dynamic_update_slice(a, right, (0, k0 + nb))
     a = jnp.take(a, rowmap, axis=0, unique_indices=True)
     perm = rowmap

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..core.dmatrix import DistMatrix, pad_array
 from ..core.environment import Blocksize
 from ..core.types import LOWER, MC, MR, STAR, UPPER
-from ..blas.gemm import local_gemm
+from ..blas.gemm import hot_precision, local_gemm
 from ..blas.level1 import MakeTrapezoidal
 from .perm import Permutation
 from .reflect import (
@@ -160,7 +160,8 @@ def _qr_packed(a: jax.Array, m: int, n: int, nb: int
         t = jax.lax.dynamic_slice(tau, (k0,), (w,))
         T = build_wy_T(V, t)
         Asub = a[k0:, k0 + w:]
-        upd = apply_block_reflector(V, T, Asub, adjoint=True)
+        upd = apply_block_reflector(V, T, Asub, adjoint=True,
+                                    precision=hot_precision(a.dtype))
         a = jax.lax.dynamic_update_slice(a, upd, (k0, k0 + w))
     return a, tau
 

@@ -86,14 +86,17 @@ def build_wy_T(V: jax.Array, tau: jax.Array) -> jax.Array:
 
 
 def apply_block_reflector(V: jax.Array, T: jax.Array, A: jax.Array,
-                          adjoint: bool) -> jax.Array:
+                          adjoint: bool, precision=None) -> jax.Array:
     """A := (I - V T V^H) A   (adjoint=False, applies Q_b)
-       A := (I - V T^H V^H) A (adjoint=True, applies Q_b^H)."""
+       A := (I - V T^H V^H) A (adjoint=True, applies Q_b^H).
+    ``precision`` governs the two large MXU matmuls (the hot trailing
+    updates of QR/condense pass `hot_precision`); the small (nb, nb) x
+    (nb, N) T-multiply stays at library default."""
     from ..blas.gemm import local_gemm
 
-    W = local_gemm(jnp.conj(V.T), A)          # (nb, N)
+    W = local_gemm(jnp.conj(V.T), A, precision=precision)  # (nb, N)
     Tm = jnp.conj(T.T) if adjoint else T
-    return A - local_gemm(V, local_gemm(Tm, W))
+    return A - local_gemm(V, local_gemm(Tm, W), precision=precision)
 
 
 def extract_panel_V(a: jax.Array, k0: int, nb: int, offset: int = 0
@@ -117,15 +120,22 @@ def ApplyPackedReflectors(packed: jax.Array, tau: jax.Array, A: jax.Array,
     (reference: reflect/ApplyPackedReflectors.hpp, vertical-forward-lower
     case used by QR; offset=1 is the condense/ApplyQ storage). ncols =
     number of reflector columns (static)."""
+    from ..blas.gemm import hot_precision
+
+    hp = hot_precision(packed.dtype)
     nblk = (ncols + nb - 1) // nb
     order = range(nblk) if adjoint else range(nblk - 1, -1, -1)
     for b in order:
         k0 = b * nb
         w = min(nb, ncols - k0)
-        V = extract_panel_V(packed, k0, w, offset)
+        # rows above k0+offset of this panel's V are identically zero:
+        # run the block reflector on the static row slice [r0, M) only
+        r0 = min(k0 + offset, A.shape[0])
+        V = extract_panel_V(packed, k0, w, offset)[r0:]
         t = jax.lax.dynamic_slice(tau, (k0,), (w,))
         T = build_wy_T(V, t)
-        A = apply_block_reflector(V, T, A, adjoint)
+        upd = apply_block_reflector(V, T, A[r0:], adjoint, precision=hp)
+        A = jax.lax.dynamic_update_slice(A, upd, (r0, 0))
     return A
 
 
