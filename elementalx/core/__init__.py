@@ -87,6 +87,13 @@ from .flame import (  # noqa: F401
     View,
 )
 from . import block  # noqa: F401
-from .block import BlockMatrix, FillDesc, block_cyclic_perm  # noqa: F401
+from .block import (  # noqa: F401
+    BlockCholesky,
+    BlockGemm,
+    BlockMatrix,
+    BlockTrsm,
+    FillDesc,
+    block_cyclic_perm,
+)
 from . import matrix  # noqa: F401
 from .matrix import Matrix  # noqa: F401

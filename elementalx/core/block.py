@@ -99,3 +99,61 @@ class BlockMatrix:
 
 def FillDesc(B: BlockMatrix) -> np.ndarray:
     return B.descriptor()
+
+
+def _same_perm(p: np.ndarray, q: np.ndarray) -> bool:
+    return p.shape == q.shape and bool(np.all(p == q))
+
+
+def BlockGemm(alpha, A: BlockMatrix, B: BlockMatrix,
+              bh: Optional[int] = None, bw: Optional[int] = None
+              ) -> BlockMatrix:
+    """C := alpha A B on BLOCK-wrapped operands (reference: BlockMatrix
+    instantiations of Gemm, Block.hpp:20-218 + Gemm.cpp's BLOCK
+    dispatch). Native path: when A's column permutation equals B's row
+    permutation (same inner block size), the inner permutations cancel —
+    (Pr A Pc^T)(Pc B Pc'^T) = Pr (A B) Pc'^T — so the product runs
+    DIRECTLY on the permuted shards with ZERO extra data movement, and
+    the result is C block-wrapped with A's row / B's column layout.
+    Mismatched inner layouts re-wrap B's rows first (one gather).
+    Cuts (colCut/rowCut) are out of scope by design (PARITY §2.1)."""
+    from ..blas.gemm import Gemm
+    from .types import NORMAL
+
+    if _same_perm(A.col_perm, B.row_perm):
+        # the permuted operands multiply directly (the inner perms are
+        # identical arrays — requires matching inner block size AND a
+        # cyclic map with the same process count, e.g. a square grid)
+        prod = Gemm(NORMAL, NORMAL, alpha, A.dm, B.dm)
+        dm = DistMatrix.from_padded(prod.data, A.m, B.n, MC, MR,
+                                    A.dm.grid, BLOCK)
+        return BlockMatrix(dm, A.row_perm, B.col_perm, A.block_height,
+                           B.block_width, A.m, B.n)
+    C = Gemm(NORMAL, NORMAL, alpha, A.to_element(), B.to_element())
+    return BlockMatrix.from_element(C, bh or A.block_height,
+                                    bw or B.block_width)
+
+
+def BlockCholesky(uplo, A: BlockMatrix) -> BlockMatrix:
+    """Cholesky of a BLOCK-wrapped HPD matrix, returning the factor in
+    the same block-cyclic layout (reference: ScaLAPACK-style potrf on
+    BlockMatrix). Cholesky is not permutation-equivariant, so the
+    owner-permutation is unwound (one gather), the element-wrap
+    factorization runs, and the factor is re-wrapped (one gather) —
+    O(N^2) movement GSPMD plans against the O(N^3) factorization."""
+    from ..lapack.cholesky import Cholesky
+
+    L = Cholesky(uplo, A.to_element())
+    return BlockMatrix.from_element(L, A.block_height, A.block_width)
+
+
+def BlockTrsm(side, uplo, orientation, diag, alpha, A: BlockMatrix,
+              B: BlockMatrix) -> BlockMatrix:
+    """Triangular solve with BLOCK-wrapped operands (same unwind/rewrap
+    scheme as BlockCholesky; the solve itself is the element-wrap
+    partitioned-inverse Trsm)."""
+    from ..blas.trsm import Trsm
+
+    X = Trsm(side, uplo, orientation, diag, alpha, A.to_element(),
+             B.to_element())
+    return BlockMatrix.from_element(X, B.block_height, B.block_width)

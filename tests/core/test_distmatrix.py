@@ -133,6 +133,54 @@ def test_block_cyclic_wrap(grid, rng):
     assert desc[2] == 20 and desc[4] == 4 and desc[5] == 2
 
 
+def test_block_native_ops(grid, rng):
+    """Algorithms consuming BLOCK-wrapped operands natively (reference:
+    BlockMatrix algorithm instantiations, Block.hpp:20-218): Gemm with
+    matching inner layouts runs on the permuted shards directly;
+    Cholesky/Trsm unwind and rewrap the owner-permutation."""
+    from elementalx.core.block import (
+        BlockCholesky, BlockGemm, BlockMatrix, BlockTrsm)
+
+    n = 16
+    a = rng.standard_normal((n, n))
+    b = rng.standard_normal((n, n))
+    # native zero-movement path needs identical inner permutations:
+    # matching inner block size on a SQUARE grid
+    import jax
+
+    sq = El.Grid(devices=jax.devices()[:4])
+    assert sq.height == sq.width
+    Ab = BlockMatrix.from_element(DistMatrix.from_global(a, grid=sq),
+                                  bh=4, bw=2)
+    Bb = BlockMatrix.from_element(DistMatrix.from_global(b, grid=sq),
+                                  bh=2, bw=4)
+    from elementalx.core.block import _same_perm
+    assert _same_perm(Ab.col_perm, Bb.row_perm)
+    Cb = BlockGemm(1.0, Ab, Bb)          # native: A.bw == B.bh == 2
+    assert Cb.block_height == 4 and Cb.block_width == 4
+    np.testing.assert_allclose(Cb.global_array(), a @ b, rtol=1e-12)
+    Ab = BlockMatrix.from_element(DistMatrix.from_global(a, grid=grid),
+                                  bh=4, bw=2)
+    Bb = BlockMatrix.from_element(DistMatrix.from_global(b, grid=grid),
+                                  bh=2, bw=4)
+    # mismatched inner layouts re-wrap B first
+    Bb2 = BlockMatrix.from_element(DistMatrix.from_global(b, grid=grid),
+                                   bh=8, bw=4)
+    C2 = BlockGemm(2.0, Ab, Bb2)
+    np.testing.assert_allclose(C2.global_array(), 2.0 * (a @ b),
+                               rtol=1e-12)
+
+    spd = a @ a.T + n * np.eye(n)
+    Sb = BlockMatrix.from_element(DistMatrix.from_global(spd, grid=grid),
+                                  bh=4, bw=4)
+    Lb = BlockCholesky(El.LOWER, Sb)
+    L = np.tril(Lb.global_array())
+    np.testing.assert_allclose(L @ L.T, spd, rtol=1e-10, atol=1e-10)
+    Xb = BlockTrsm(El.LEFT, El.LOWER, El.NORMAL, El.NON_UNIT, 1.0, Lb, Bb)
+    np.testing.assert_allclose(L @ Xb.global_array(), b,
+                               rtol=1e-9, atol=1e-9)
+
+
 def test_local_matrix(rng):
     """Local Matrix facade (reference: include/El/core/Matrix/decl.hpp)."""
     from elementalx import Matrix
