@@ -323,23 +323,75 @@ def ReverseCholesky(uplo: UpperOrLower, A: DistMatrix,
 def CholeskyMod(uplo: UpperOrLower, T: DistMatrix, alpha,
                 V: DistMatrix, blocksize: Optional[int] = None
                 ) -> DistMatrix:
-    """Update a Cholesky factor for A + alpha V V^H
-    (reference: factor/Cholesky/Mod.hpp). Recomputes from the reassembled
-    matrix — the rank-k rebuild is a few MXU matmuls, faster on TPU than
-    the reference's sequential hyperbolic-rotation sweeps."""
-    from ..blas.level3 import Herk
+    """Update a Cholesky factor for A + alpha V V^H in O(n^2 k)
+    (reference: factor/Cholesky/Mod.hpp — Givens sweeps for the update,
+    hyperbolic rotations for the downdate).
 
-    Tm = T.redistribute(MC, MR)
-    if uplo == LOWER:
-        from ..blas.gemm import Gemm
+    TPU-native design: the reference's column-sequential rotation sweeps
+    are latency-bound on an accelerator (n tiny dependent vector ops per
+    V column), so the sweep is BLOCKED into the compound (J-)orthogonal
+    panel transform they generate. For each nb-wide panel, with T the
+    diagonal block, Vp the panel rows of V and s = sign(alpha):
 
-        A = Gemm(NORMAL, ADJOINT, 1.0, Tm, Tm)
-    else:
-        from ..blas.gemm import Gemm
+        T'   = chol(T T^H + s Vp Vp^H)          (nb x nb)
+        P    = T^{-1} Vp,  S^H S = I + s P^H P  (k x k)
+        L21' = (L21 T^H + s V2 Vp^H) T'^{-H}    (one trailing MXU matmul)
+        V2'  = (V2 - L21 P) S^{-1}              (one trailing MXU matmul)
 
-        A = Gemm(ADJOINT, NORMAL, 1.0, Tm, Tm)
-    A = Herk(uplo, NORMAL, alpha, V, beta=1.0, C=A)
-    return Cholesky(uplo, A, blocksize)
+    — algebraically the product of the panel's nb rotations ([T, Vp] is
+    mapped to [T', 0] by a (J-)unitary W whose trailing application is
+    the two matmuls; J = diag(I, -I) for the downdate). n/nb sequential
+    panels of pure MXU work, O(n^2 (nb + k)) FLOPs total. A failed
+    downdate (A - |alpha| V V^H not positive definite) surfaces as a
+    non-finite factor, as in the reference's failed hyperbolic rotation."""
+    if alpha == 0:
+        return T.redistribute(MC, MR)
+    from ..blas.level1 import Adjoint
+
+    lower = T if uplo == LOWER else Adjoint(T)
+    Lm = lower.redistribute(MC, MR)
+    n = T.m
+    L = _set_pad_diag(Lm.data, n, 1)
+    Vm = V.redistribute(MC, MR)
+    k = V.n
+    sgn = 1.0 if (alpha if not isinstance(alpha, complex) else alpha.real) > 0 else -1.0
+    W = Vm.data[:, :k] * jnp.asarray(
+        abs(alpha) ** 0.5, Lm.dtype)
+    M = L.shape[0]
+    nb = min(blocksize or Blocksize(), M)
+    s = jnp.asarray(sgn, L.dtype)
+    eye_k = jnp.eye(k, dtype=L.dtype)
+
+    for j0 in range(0, M, nb):
+        w = min(nb, M - j0)
+        Tb = jnp.tril(L[j0:j0 + w, j0:j0 + w])
+        Vp = W[j0:j0 + w]
+        A11 = local_gemm(Tb, jnp.conj(Tb.T)) \
+            + s * local_gemm(Vp, jnp.conj(Vp.T))
+        Tn = jax.lax.linalg.cholesky(A11, symmetrize_input=True)
+        P = jax.lax.linalg.triangular_solve(
+            Tb, Vp, left_side=True, lower=True)
+        G = eye_k + s * local_gemm(jnp.conj(P.T), P)
+        S = jax.lax.linalg.cholesky(G, symmetrize_input=True)  # G = S S^H
+        L = jax.lax.dynamic_update_slice(L, Tn, (j0, j0))
+        if j0 + w < M:
+            L21 = L[j0 + w:, j0:j0 + w]
+            V2 = W[j0 + w:]
+            num = local_gemm(L21, jnp.conj(Tb.T)) \
+                + s * local_gemm(V2, jnp.conj(Vp.T))
+            # X T'^H = num  (right solve against the new diagonal block)
+            L21n = jax.lax.linalg.triangular_solve(
+                Tn, num, left_side=False, lower=True,
+                conjugate_a=True, transpose_a=True)
+            V2n = jax.lax.linalg.triangular_solve(
+                S, V2 - local_gemm(L21, P), left_side=False, lower=True,
+                conjugate_a=True, transpose_a=True)
+            L = jax.lax.dynamic_update_slice(L, L21n, (j0 + w, j0))
+            W = jax.lax.dynamic_update_slice(W, V2n, (j0 + w, 0))
+
+    out = Lm.with_data(Lm.mask_padding(jnp.tril(L)))
+    out = out.with_data(_set_pad_diag(out.data, n, 0))
+    return out if uplo == LOWER else Adjoint(out)
 
 
 def HPDSolve(uplo: UpperOrLower, orientation: Orientation, A: DistMatrix,

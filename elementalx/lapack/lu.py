@@ -464,9 +464,6 @@ def LUMod(F: DistMatrix, P: Permutation, u, v, conjugate: bool = True,
     L = jnp.where(i2 > j2, d[:, :Mp], jnp.zeros((), dt))
     L = jnp.where(i2 == j2, jnp.ones((), dt), L)
     U = jnp.triu(d)
-    # pad U diagonal to 1 beyond the logical size for stability
-    U = jnp.where((i2 == j2) & (i2 >= m), jnp.ones((), dt),
-                  U[:, :Np] * 0 + U) if False else U
     uvec = jnp.zeros((Mp,), dt).at[:m].set(jnp.asarray(u, dt).ravel()[:m])
     vvec = jnp.zeros((Np,), dt).at[:n].set(jnp.asarray(v, dt).ravel()[:n])
     if conjugate:

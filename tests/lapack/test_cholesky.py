@@ -82,7 +82,31 @@ def test_cholesky_mod(grid, rng):
     L2 = CholeskyMod(LOWER, L, 0.5, DistMatrix.from_global(v, grid=grid))
     f = L2.global_array()
     target = a + 0.5 * v @ v.T
+    assert np.allclose(f, np.tril(f))
     assert np.linalg.norm(f @ f.T - target) / np.linalg.norm(target) < 1e-12
+
+
+def test_cholesky_mod_downdate_and_upper(grid, rng):
+    """Hyperbolic (downdate) sweep + UPPER routing
+    (reference: factor/Cholesky/Mod.hpp's alpha<0 hyperbolic path)."""
+    from elementalx.core.types import UPPER
+
+    n, k = 24, 2
+    a = _hpd(rng, n)
+    v = rng.standard_normal((n, k))
+    # keep A - 0.25 v v^T comfortably positive definite
+    target = a - 0.25 * v @ v.T
+    assert np.min(np.linalg.eigvalsh(target)) > 0
+    L = Cholesky(LOWER, DistMatrix.from_global(a, grid=grid))
+    L2 = CholeskyMod(LOWER, L, -0.25, DistMatrix.from_global(v, grid=grid))
+    f = L2.global_array()
+    assert np.linalg.norm(f @ f.T - target) / np.linalg.norm(target) < 1e-11
+
+    R = Cholesky(UPPER, DistMatrix.from_global(a, grid=grid))
+    R2 = CholeskyMod(UPPER, R, -0.25, DistMatrix.from_global(v, grid=grid))
+    g = R2.global_array()
+    assert np.allclose(g, np.triu(g))
+    assert np.linalg.norm(g.conj().T @ g - target) / np.linalg.norm(target) < 1e-11
 
 
 def test_cholesky_under_jit(grid, rng):
