@@ -138,19 +138,24 @@ def _qr_packed(a: jax.Array, m: int, n: int, nb: int
     """Blocked Householder QR on the padded array."""
     M, N = a.shape
     ncols = min(m, n)
-    nblk = (ncols + nb - 1) // nb
     tau0 = jnp.zeros((N,), a.dtype)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (N,), 0)
 
     # python loop: k0 is static, so the compact-WY trailing update runs
     # on the exact (M-k0, N-k0-w) static slice — no wasted full-size
-    # masked matmuls
+    # masked matmuls. Panel width stays UNIFORM at nb: although XLA's
+    # geqrf composite has a cost cliff above ~8k rows ((16384,256):
+    # 2.33 ms vs (16384,128): 0.74 — scratch/prof_geqrf.py), halving the
+    # width in the tall region measured SLOWER end-to-end (284.8 vs
+    # 208.8 ms at 16384 f32): every extra panel pays a (M-k0)x(N-k0)
+    # strided trailing-slice materialisation + writeback, which swamps
+    # the geqrf saving.
     tau = tau0
-    for b in range(nblk):
-        k0 = b * nb
+    k0 = 0
+    while k0 < ncols:
         w = min(nb, ncols - k0)
         a, tau = _panel_qr(a, tau, k0, w, m)
         if k0 + w >= N:
+            k0 += w
             continue
         sl = a[k0:, k0:k0 + w]
         r2 = jax.lax.broadcasted_iota(jnp.int32, sl.shape, 0)
@@ -163,6 +168,7 @@ def _qr_packed(a: jax.Array, m: int, n: int, nb: int
         upd = apply_block_reflector(V, T, Asub, adjoint=True,
                                     precision=hot_precision(a.dtype))
         a = jax.lax.dynamic_update_slice(a, upd, (k0, k0 + w))
+        k0 += w
     return a, tau
 
 
