@@ -33,7 +33,10 @@ from ..blas.gemm import Gemm
 from .condense import Hessenberg, hessenberg_apply_q
 
 
-_NATIVE_QR_CUTOFF = 384
+# measured knee (n=1000 host sweep): the serial native window solver
+# beats AED+multibulge rounds only below ~256 now that the chase inner
+# loop is native (3.66 s at 256 vs 5.82 at 384 / 5.47 at 64)
+_NATIVE_QR_CUTOFF = 256
 
 
 def _wilkinson_shift(T: np.ndarray, m: int) -> complex:
@@ -172,6 +175,30 @@ def _multibulge_sweep(T, Z, l, m, shifts, want_vecs, accum_extra=32) -> None:
         # k_last + 4 (the entry that becomes the next bulge)
         k2 = min(l + (t + span - 1) + 5, m)
         w = k2 - k1
+        # the whole pass is confined to window [k1, k2) x [k1, k2): run
+        # its `span` scalar chase steps in the native kernel
+        # (native/elx_chase.cpp) when available — the numpy batched
+        # chase below pays ~10 interpreter-dispatched fancy-indexed ops
+        # per step, which dominated the 11.3 s Schur(1000) profile
+        if T.dtype == np.complex128:
+            try:
+                from ..native import complex_chase_native
+
+                Tw = np.ascontiguousarray(T[k1:k2, k1:k2])
+                U = complex_chase_native(
+                    Tw, np.ascontiguousarray(shifts, np.complex128),
+                    nb, t, span, l, m, k1, k2)
+                T[k1:k2, k1:k2] = Tw
+                if k2 < n:
+                    T[k1:k2, k2:] = np.conj(U.T) @ T[k1:k2, k2:]
+                if k1 > 0:
+                    T[:k1, k1:k2] = T[:k1, k1:k2] @ U
+                if want_vecs:
+                    Z[:, k1:k2] = Z[:, k1:k2] @ U
+                t += span
+                continue
+            except RuntimeError:
+                pass
         U = np.eye(w, dtype=T.dtype)
 
         def _apply_one(vh, tau, rows, c0):

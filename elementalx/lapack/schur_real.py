@@ -234,6 +234,27 @@ def _multibulge_sweep_real(T, Z, l, m, pairs, want_vecs,
         k1 = max(top_pos - 1, l)
         k2 = min(l + (t + span - 1) + 5, m)
         w = k2 - k1
+        # native windowed chase (native/elx_chase.cpp, pair_mode=1) —
+        # see the complex driver's note in schur.py::_multibulge_sweep
+        try:
+            from ..native import real_chase_native
+
+            Tw = np.ascontiguousarray(T[k1:k2, k1:k2])
+            U = real_chase_native(
+                Tw, np.ascontiguousarray(
+                    np.asarray(pairs, np.float64).ravel()),
+                nb, t, span, l, m, k1, k2)
+            T[k1:k2, k1:k2] = Tw
+            if k2 < n:
+                T[k1:k2, k2:] = U.T @ T[k1:k2, k2:]
+            if k1 > 0:
+                T[:k1, k1:k2] = T[:k1, k1:k2] @ U
+            if want_vecs:
+                Z[:, k1:k2] = Z[:, k1:k2] @ U
+            t += span
+            continue
+        except RuntimeError:
+            pass
         U = np.eye(w)
 
         def _apply_one(vh, tau, rows, c0):

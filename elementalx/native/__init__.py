@@ -124,6 +124,26 @@ def _load():
                 np.ctypeslib.ndpointer(np.float64, flags="C"),
                 np.ctypeslib.ndpointer(np.float64, flags="C"),
             ]
+        if hasattr(lib, "elx_complex_chase"):
+            lib.elx_complex_chase.restype = ctypes.c_int
+            lib.elx_complex_chase.argtypes = [
+                ctypes.c_int,
+                np.ctypeslib.ndpointer(np.complex128, flags="C"),
+                np.ctypeslib.ndpointer(np.complex128, flags="C"),
+                np.ctypeslib.ndpointer(np.complex128, flags="C"),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ]
+        if hasattr(lib, "elx_real_chase"):
+            lib.elx_real_chase.restype = ctypes.c_int
+            lib.elx_real_chase.argtypes = [
+                ctypes.c_int,
+                np.ctypeslib.ndpointer(np.float64, flags="C"),
+                np.ctypeslib.ndpointer(np.float64, flags="C"),
+                np.ctypeslib.ndpointer(np.float64, flags="C"),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ]
         _lib = lib
     except OSError:
         _lib = None
@@ -288,3 +308,47 @@ def _amd_python(colptr, rowind, n) -> np.ndarray:
                 adj[nbrs[b]].add(nbrs[a])
         adj[best].clear()
     return perm
+
+
+def complex_chase_native(Tw: np.ndarray, shifts: np.ndarray, nb: int,
+                         t0: int, span: int, l: int, m: int, k1: int,
+                         k2: int) -> np.ndarray:
+    """One accumulation-window pass of the complex multibulge chase
+    (native/elx_chase.cpp). Mutates ``Tw`` (the window rows/cols
+    [k1, k2) of T, complex128 contiguous) in place and returns the
+    accumulated window unitary U (w x w). Raises RuntimeError when the
+    native library is unavailable — the caller falls back to the numpy
+    batched chase."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "elx_complex_chase"):
+        raise RuntimeError("native library unavailable")
+    w = Tw.shape[0]
+    U = np.empty((w, w), np.complex128)
+    rc = lib.elx_complex_chase(
+        w, Tw.reshape(-1), U.reshape(-1),
+        np.ascontiguousarray(shifts, np.complex128),
+        int(nb), int(t0), int(span), int(l), int(m), int(k1), int(k2))
+    if rc != 0:
+        raise RuntimeError(f"elx_complex_chase rc={rc}")
+    return U
+
+
+def real_chase_native(Tw: np.ndarray, shifts: np.ndarray, nb: int,
+                      t0: int, span: int, l: int, m: int, k1: int,
+                      k2: int) -> np.ndarray:
+    """Real-arithmetic variant of :func:`complex_chase_native` (the
+    shift array carries the PAIRED real parts — callers pass real
+    two-shift sums/products via consecutive entries exactly as the
+    numpy sweep does)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "elx_real_chase"):
+        raise RuntimeError("native library unavailable")
+    w = Tw.shape[0]
+    U = np.empty((w, w), np.float64)
+    rc = lib.elx_real_chase(
+        w, Tw.reshape(-1), U.reshape(-1),
+        np.ascontiguousarray(shifts, np.float64),
+        int(nb), int(t0), int(span), int(l), int(m), int(k1), int(k2))
+    if rc != 0:
+        raise RuntimeError(f"elx_real_chase rc={rc}")
+    return U
