@@ -54,6 +54,23 @@ class SupernodalLDLFactorization(NamedTuple):
     # D on the leading diagonal block's diagonal (unit diag implied)
     d: np.ndarray                    # D diagonal (convenience copy)
 
+    @property
+    def struct(self) -> List[np.ndarray]:
+        """Per-column below-diagonal row structure of L (the column-wise
+        view the scalar multifrontal factorization exposed; kept for
+        fill-statistics consumers). Column j of supernode s covers the
+        in-panel columns right of j plus the supernode's below-panel
+        rows."""
+        out: List[np.ndarray] = []
+        for s in range(len(self.sym.sn_start) - 1):
+            c0, c1 = int(self.sym.sn_start[s]), int(self.sym.sn_start[s + 1])
+            rows = self.sym.sn_rows[s]
+            for j in range(c0, c1):
+                out.append(np.concatenate(
+                    [np.arange(j + 1, c1, dtype=np.int64),
+                     rows.astype(np.int64)]))
+        return out
+
 
 def _etree_post_struct(S: SparseMatrix, ordering: str):
     from .ldl import _column_structs, _etree, _postorder
