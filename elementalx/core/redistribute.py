@@ -185,8 +185,15 @@ def TranslateBetweenGrids(A: DistMatrix, grid: Grid,
                           col_dist: Dist = MC, row_dist: Dist = MR) -> DistMatrix:
     """Copy a matrix onto a *different* grid
     (reference: Copy/TranslateBetweenGrids.hpp:18-369, tested by
-    tests/core/DifferentGrids.cpp). Eager-only: the runtime reshards
-    across meshes via device_put."""
+    tests/core/DifferentGrids.cpp).
+
+    First-class under jit for grids over the SAME device set (any mesh
+    shape): the movement lowers to a sharding constraint and XLA plans
+    the collective, exactly like every other copy:: path. Grids over a
+    different device set (true subgrids) reshard eagerly via device_put
+    — a single XLA program is compiled for one device assignment, so
+    cross-device-set movement cannot appear inside jit (jax raises its
+    incompatible-devices error there; call this outside jit)."""
     from .dmatrix import pad_array
 
     logical = A.replicated()[: A.m, : A.n]

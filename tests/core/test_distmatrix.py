@@ -77,6 +77,25 @@ def test_translate_between_grids(grid, square_grid, rng):
     np.testing.assert_array_equal(C.global_array(), a)
 
 
+def test_translate_between_grids_under_jit(grid, rng):
+    """Same-device-set grid translation is first-class under jit (the
+    movement is a sharding constraint XLA plans); cross-device-set
+    translation must stay eager and raises jax's incompatible-devices
+    error inside jit."""
+    import jax
+
+    g2 = El.Grid(height=2)     # same 8 devices, different mesh shape
+    a, A = _mk(rng, 12, 10, grid, (El.MC, El.MR))
+
+    B = jax.jit(lambda X: El.TranslateBetweenGrids(X, g2))(A)
+    assert B.grid == g2
+    np.testing.assert_array_equal(B.global_array(), a)
+
+    sub = El.Grid(devices=jax.devices()[:4], height=2)
+    with pytest.raises(ValueError):
+        jax.jit(lambda X: El.TranslateBetweenGrids(X, sub))(A)
+
+
 def test_grid_properties():
     g = El.Grid(height=4)
     assert (g.height, g.width, g.size) == (4, 2, 8)
