@@ -57,8 +57,11 @@ from .dmatrix import DistMatrix, apply_sharding, check_same_grid, make_dist  # n
 from . import redistribute  # noqa: F401
 from .redistribute import Copy, TranslateBetweenGrids  # noqa: F401
 from .environment import (  # noqa: F401
+    AssertInBounds,
     Blocksize,
+    DebugChecksEnabled,
     ElError,
+    EnableDebugChecks,
     Finalize,
     Initialize,
     Initialized,
@@ -72,6 +75,7 @@ from .environment import (  # noqa: F401
     SetBlocksize,
     SingularMatrixException,
     blocksize,
+    debug_checks,
 )
 from .random_ import SampleNormal, SampleUniform, SeedRandom, next_key  # noqa: F401
 from . import flame  # noqa: F401

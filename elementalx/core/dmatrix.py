@@ -230,6 +230,40 @@ class DistMatrix:
 
         return _r.Copy(self, col_dist, row_dist)
 
+    # ---- element access (reference: DistMatrix Get/Set/Update with
+    # EL_DEBUG_ONLY CheckBounds; functional — Set/Update return the new
+    # matrix since the pytree is immutable) ----
+    def _check_entry(self, i, j):
+        from .environment import AssertInBounds, DebugChecksEnabled
+
+        if DebugChecksEnabled():
+            AssertInBounds(i, j, self.m, self.n, "DistMatrix entry")
+
+    def get(self, i: int, j: int):
+        self._check_entry(i, j)
+        return self.data[i, j]
+
+    def set(self, i: int, j: int, value) -> "DistMatrix":
+        self._check_entry(i, j)
+        return self.with_data(self.data.at[i, j].set(value))
+
+    def update(self, i: int, j: int, value) -> "DistMatrix":
+        self._check_entry(i, j)
+        return self.with_data(self.data.at[i, j].add(value))
+
+    def check_valid(self) -> None:
+        """Eager validation of the library invariant: the padding region
+        of ``data`` is identically zero (reference: the DEBUG-build
+        consistency asserts). No-op under trace."""
+        if _is_traced(self.data):
+            return
+        bad = jax.device_get(jnp.sum(jnp.abs(
+            jnp.where(self.pad_mask(), jnp.zeros((), self.dtype),
+                      self.data))))
+        if bad != 0:
+            raise AssertionError(
+                f"DistMatrix padding invariant violated: |pad| sum = {bad}")
+
     # ---- materialisation ----
     def global_array(self) -> np.ndarray:
         """Gather the full logical matrix to the host (test/IO helper; the

@@ -114,6 +114,48 @@ def Initialized() -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Opt-in debug checks (reference: EL_DEBUG_ONLY / EL_RELEASE entrywise
+# bounds assertions, include/El/core/Matrix + DistMatrix CheckBounds).
+# Off by default — the hot path stays assertion-free like the
+# reference's release build; enable for debugging with
+# EnableDebugChecks() or the debug_checks() context manager.
+# ---------------------------------------------------------------------------
+
+_debug_checks = False
+
+
+def EnableDebugChecks(on: bool = True) -> None:
+    global _debug_checks
+    _debug_checks = bool(on)
+
+
+def DebugChecksEnabled() -> bool:
+    return _debug_checks
+
+
+@contextlib.contextmanager
+def debug_checks(on: bool = True):
+    global _debug_checks
+    prev = _debug_checks
+    _debug_checks = bool(on)
+    try:
+        yield
+    finally:
+        _debug_checks = prev
+
+
+def AssertInBounds(i, j, m: int, n: int, what: str = "entry") -> None:
+    """Entrywise bounds assertion (only meaningful for host indices —
+    traced index values are skipped, matching the reference's
+    device-side unchecked access)."""
+    if not isinstance(i, int) or not isinstance(j, int):
+        return
+    if not (0 <= i < m and 0 <= j < n):
+        raise IndexError(
+            f"{what} ({i}, {j}) out of bounds for {m} x {n} matrix")
+
+
+# ---------------------------------------------------------------------------
 # Output helpers (reference: Output/OutputFromRoot, src/core/indent.cpp)
 # ---------------------------------------------------------------------------
 

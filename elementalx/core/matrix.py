@@ -67,14 +67,24 @@ class Matrix:
         w = min(width, cur.shape[1])
         self._data = new.at[:h, :w].set(cur[:h, :w])
 
-    # -- element access (reference: Get/Set/Update) ---------------------
+    # -- element access (reference: Get/Set/Update, with EL_DEBUG_ONLY
+    # bounds assertions under the opt-in debug mode) ---------------------
+    def _check(self, i, j):
+        from .environment import AssertInBounds, DebugChecksEnabled
+
+        if DebugChecksEnabled():
+            AssertInBounds(i, j, self.height, self.width, "Matrix entry")
+
     def get(self, i: int, j: int):
+        self._check(i, j)
         return self._data[i, j]
 
     def set(self, i: int, j: int, value) -> None:
+        self._check(i, j)
         self._data = self._data.at[i, j].set(value)
 
     def update(self, i: int, j: int, value) -> None:
+        self._check(i, j)
         self._data = self._data.at[i, j].add(value)
 
     def __getitem__(self, key):

@@ -216,3 +216,33 @@ def test_local_matrix(rng):
     np.testing.assert_allclose(M2.numpy(), a)
     D = M2.to_dist()
     np.testing.assert_allclose(D.global_array(), a)
+
+
+def test_debug_bounds_checks(grid, rng):
+    """Opt-in entrywise bounds mode (reference: EL_DEBUG_ONLY bounds
+    assertions; release builds skip them, as does the default here)."""
+    from elementalx import Matrix, debug_checks
+
+    M = Matrix(3, 2)
+    M.set(2, 1, 5.0)               # in bounds
+    _ = M.get(5, 0)                # out of bounds: silent without debug
+    with debug_checks():
+        with pytest.raises(IndexError):
+            M.get(5, 0)
+        with pytest.raises(IndexError):
+            M.set(0, 2, 1.0)
+        M.update(1, 1, 2.0)        # in bounds still fine
+
+    a, A = _mk(rng, 6, 5, grid, (El.MC, El.MR))
+    assert float(A.get(2, 3)) == a[2, 3]
+    B = A.set(1, 1, 7.0)
+    assert float(B.get(1, 1)) == 7.0
+    C = A.update(0, 0, 1.0)
+    np.testing.assert_allclose(float(C.get(0, 0)), a[0, 0] + 1.0)
+    with debug_checks():
+        with pytest.raises(IndexError):
+            A.get(6, 0)
+    A.check_valid()                # padding invariant holds
+    bad = A.with_data(A.data + 1)  # pollutes the padding region
+    with pytest.raises(AssertionError):
+        bad.check_valid()
