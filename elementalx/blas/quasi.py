@@ -213,9 +213,16 @@ def MultiShiftQuasiTrsm(side: LeftOrRight, uplo: UpperOrLower,
     real T are handled by ``MultiShiftQuasiTrsmPairs`` (split real/imag
     planes)."""
     if side != LEFT:
-        raise NotImplementedError(
-            "RIGHT MultiShiftQuasiTrsm reduces via transposition; "
-            "unused by the drivers")
+        # X[j,:] (op(T) - s_j) = alpha B[j,:]  <=>
+        # (op(T)^T - s_j) X[j,:]^T = alpha B[j,:]^T — a LEFT solve with
+        # the orientation flipped and B transposed (real quasi forms:
+        # ADJOINT == TRANSPOSE)
+        from .level1 import Transpose
+
+        flip = {NORMAL: TRANSPOSE, TRANSPOSE: NORMAL, ADJOINT: NORMAL}
+        Xt = MultiShiftQuasiTrsm(LEFT, uplo, flip[orientation], alpha,
+                                 T, shifts, Transpose(B))
+        return Transpose(Xt)
     Td = T.replicated()
     m = T.m
     M = Td.shape[0]
@@ -267,7 +274,20 @@ def SafeMultiShiftTrsm(side: LeftOrRight, uplo: UpperOrLower,
     regularised at the underflow-safe floor, so near-singular shifts
     produce large-but-finite vectors instead of Inf/NaN."""
     if side != LEFT:
-        raise NotImplementedError("RIGHT SafeMultiShiftTrsm unused")
+        # same transpose reduction as MultiShiftQuasiTrsm; the per-shift
+        # scales are invariant under transposition
+        from .level1 import Transpose
+
+        flip = {NORMAL: TRANSPOSE, TRANSPOSE: NORMAL, ADJOINT: NORMAL}
+        if orientation == ADJOINT:
+            Tm = T.redistribute(MC, MR)
+            Tc = Tm.with_data(jnp.conj(Tm.data))
+            Xt, scales = SafeMultiShiftTrsm(
+                LEFT, uplo, NORMAL, alpha, Tc, shifts, Transpose(B))
+            return Transpose(Xt), scales
+        Xt, scales = SafeMultiShiftTrsm(LEFT, uplo, flip[orientation],
+                                        alpha, T, shifts, Transpose(B))
+        return Transpose(Xt), scales
     Td = T.replicated()
     m = T.m
     M = Td.shape[0]
@@ -322,7 +342,13 @@ def SafeMultiShiftQuasiTrsm(side: LeftOrRight, uplo: UpperOrLower,
     """Overflow-guarded real-shift quasi-triangular multi-shift solve
     (reference: SafeMultiShiftTrsm.cpp applied to the quasi form)."""
     if side != LEFT:
-        raise NotImplementedError("RIGHT unused")
+        from .level1 import Transpose
+
+        flip = {NORMAL: TRANSPOSE, TRANSPOSE: NORMAL, ADJOINT: NORMAL}
+        Xt, scales = SafeMultiShiftQuasiTrsm(
+            LEFT, uplo, flip[orientation], alpha, T, shifts,
+            Transpose(B))
+        return Transpose(Xt), scales
     Td = T.replicated()
     m = T.m
     M = Td.shape[0]

@@ -200,3 +200,56 @@ def test_quasi_reorder(grid, rng):
     # the top block now carries the largest |eigenvalue|
     top_mag = abs(dec2.w[0])
     assert abs(top_mag - np.abs(w0).max()) < 1e-8 * max(1, top_mag)
+
+
+def test_multishift_quasi_trsm_right(grid, rng):
+    """RIGHT side via the transpose reduction (reference:
+    MultiShiftQuasiTrsm.cpp handles both sides)."""
+    n, k = 18, 5
+    T = _quasi_upper(rng, n)
+    shifts = rng.standard_normal(k) * 0.1
+    b = rng.standard_normal((k, n))
+    X = MultiShiftQuasiTrsm(
+        RIGHT, UPPER, NORMAL, 2.0,
+        DistMatrix.from_global(jnp.asarray(T), grid=grid),
+        jnp.asarray(shifts),
+        DistMatrix.from_global(jnp.asarray(b), grid=grid)).global_array()
+    for j in range(k):
+        np.testing.assert_allclose(
+            X[j] @ (T - shifts[j] * np.eye(n)), 2.0 * b[j], atol=1e-8)
+
+
+def test_safe_multishift_trsm_right(grid, rng):
+    n, k = 12, 2
+    t = np.triu(rng.standard_normal((n, n)))
+    np.fill_diagonal(t, np.arange(1.0, n + 1))
+    shifts = np.array([0.0, 0.5])
+    b = rng.standard_normal((k, n))
+    X, scales = SafeMultiShiftTrsm(
+        RIGHT, UPPER, NORMAL, 1.0,
+        DistMatrix.from_global(jnp.asarray(t), grid=grid),
+        jnp.asarray(shifts),
+        DistMatrix.from_global(jnp.asarray(b), grid=grid))
+    x = X.global_array()
+    assert np.all(np.isfinite(x))
+    for j in range(k):
+        sj = float(np.asarray(scales)[j])
+        np.testing.assert_allclose(
+            x[j] @ (t - shifts[j] * np.eye(n)), sj * b[j], atol=1e-9)
+
+
+def test_safe_multishift_quasi_trsm_right(grid, rng):
+    n, k = 16, 2
+    T = _quasi_upper(rng, n)
+    shifts = np.array([0.05, -0.07])
+    b = rng.standard_normal((k, n))
+    X, scales = SafeMultiShiftQuasiTrsm(
+        RIGHT, UPPER, NORMAL, 1.0,
+        DistMatrix.from_global(jnp.asarray(T), grid=grid),
+        jnp.asarray(shifts),
+        DistMatrix.from_global(jnp.asarray(b), grid=grid))
+    x = X.global_array()
+    for j in range(k):
+        sj = float(np.asarray(scales)[j])
+        np.testing.assert_allclose(
+            x[j] @ (T - shifts[j] * np.eye(n)), sj * b[j], atol=1e-8)
