@@ -234,3 +234,64 @@ def test_trsm_no_full_replication(g):
     # panels; bound total collective payload at ~8x the operands
     assert moved <= 8 * (n * n + n * nrhs), \
         f"Trsm communication blown up: {stats}"
+
+
+def test_lu_panel_step_no_trailing_replication(g):
+    """One LU panel step (slab factor via the two-level tournament
+    panel + U12 solve + full-height trailing update) on the mesh: the
+    trailing matrix must not be all-gathered — only panel-sized
+    (O(n*nb)) movement is allowed (reference plan: LU.cpp:47-98 moves
+    A21[MC,*] x A12[*,MR], never the trailing block)."""
+    n, nb = 512, 64
+    A = _mk(g, n, n, seed=11)
+
+    def panel_step(A):
+        from elementalx.blas.gemm import local_gemm
+        from elementalx.blas.trinv import tri_inv_lower_unit
+        from elementalx.lapack.lu import _lu_slab
+
+        a = A.data
+        lu, lperm = _lu_slab(a[:, :nb])
+        inv11 = tri_inv_lower_unit(lu[:nb, :])
+        U12 = local_gemm(inv11, a[:nb, nb:])
+        upd = a[nb:, nb:] - local_gemm(lu[nb:, :], U12)
+        return lu, lperm, U12, upd
+
+    hlo = _opt_hlo(panel_step, A)
+    stats = _collective_stats(hlo)
+    biggest = max((max(v) for v in stats.values() if v), default=0)
+    assert biggest < (n - nb) * (n - nb), \
+        f"a collective moves the whole trailing matrix: {stats}"
+
+
+def test_qr_panel_step_no_trailing_replication(g):
+    """One QR compact-WY panel step: the two trailing matmuls contract
+    over the sharded row dimension (psum/reduce-scatter of panel-sized
+    W), never all-gathering the (n x (n-nb)) trailing block
+    (reference plan: ApplyPackedReflectors' [VC,*] panel moves)."""
+    n, nb = 512, 64
+    A = _mk(g, n, n, seed=12)
+
+    def panel_step(A):
+        from jax._src.lax.linalg import geqrf
+
+        from elementalx.blas.gemm import hot_precision
+        from elementalx.lapack.reflect import (apply_block_reflector,
+                                               build_wy_T)
+
+        a = A.data
+        pk, t = geqrf(a[:, :nb])
+        r2 = jax.lax.broadcasted_iota(jnp.int32, pk.shape, 0)
+        c2 = jax.lax.broadcasted_iota(jnp.int32, pk.shape, 1)
+        V = jnp.where(r2 > c2, pk, jnp.zeros_like(pk))
+        V = jnp.where(r2 == c2, jnp.ones((), a.dtype), V)
+        T = build_wy_T(V, t)
+        upd = apply_block_reflector(V, T, a[:, nb:], adjoint=True,
+                                    precision=hot_precision(a.dtype))
+        return pk, upd
+
+    hlo = _opt_hlo(panel_step, A)
+    stats = _collective_stats(hlo)
+    biggest = max((max(v) for v in stats.values() if v), default=0)
+    assert biggest < n * (n - nb), \
+        f"a collective moves the whole trailing matrix: {stats}"
