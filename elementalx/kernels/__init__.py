@@ -23,3 +23,10 @@ from .elementwise import (  # noqa: F401
 from .trrk import masked_rank_k  # noqa: F401
 from .ozaki import matmul_f64_emulated  # noqa: F401
 from .ring_summa import ring_summa  # noqa: F401
+from .extended import (  # noqa: F401
+    dot_extended,
+    norm2_extended,
+    sum_extended,
+    two_prod,
+    two_sum,
+)

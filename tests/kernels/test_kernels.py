@@ -217,3 +217,44 @@ def test_refined_hermitian_eig_clustered(grid, rng):
     scaled = r / (np.finfo(np.float64).eps * n * np.abs(w).max())
     assert scaled < 100, f"scaled residual {scaled}"
     assert np.abs(V.T @ V - np.eye(n)).max() < 1e-11
+
+
+def test_extended_precision_sum_dot():
+    """Double-word accumulation (kernels/extended.py — the BigFloat/Quad
+    accumulation role): f32 inputs summed/dotted at ~f64 grade."""
+    import numpy as np
+    from elementalx.kernels.extended import (dot_extended, norm2_extended,
+                                             sum_extended, two_prod,
+                                             two_sum)
+
+    rng = np.random.default_rng(0)
+    # error-free transforms are exact
+    a = jnp.asarray(1e8, jnp.float32)
+    b = jnp.asarray(1.25e-3, jnp.float32)
+    s, e = two_sum(a, b)
+    assert float(jnp.asarray(s, jnp.float64) + jnp.asarray(e, jnp.float64)
+                 ) == float(a) + float(b)
+    p, pe = two_prod(a, b)
+    assert np.isclose(float(p) + float(pe), float(a) * float(b), rtol=0)
+
+    # ill-conditioned sum: plain f32 loses everything, dd recovers
+    n = 4096
+    x = rng.standard_normal(n).astype(np.float32) * 1e6
+    x = np.concatenate([x, -x, np.asarray([1.0], np.float32)])
+    ref = np.sum(x.astype(np.float64))
+    hi, lo = sum_extended(jnp.asarray(x))
+    got = float(np.float64(hi) + np.float64(lo))
+    assert abs(got - ref) <= 1e-3 * max(abs(ref), 1.0)
+
+    # dot at ~f64 grade
+    u = rng.standard_normal(n).astype(np.float32)
+    v = rng.standard_normal(n).astype(np.float32)
+    ref = np.dot(u.astype(np.float64), v.astype(np.float64))
+    hi, lo = dot_extended(jnp.asarray(u), jnp.asarray(v))
+    got = float(np.float64(hi) + np.float64(lo))
+    assert abs(got - ref) <= 1e-4 * abs(ref) + 1e-6
+    plain = float(jnp.dot(jnp.asarray(u), jnp.asarray(v)))
+    assert abs(got - ref) <= abs(plain - ref) + 1e-6
+
+    nrm = float(norm2_extended(jnp.asarray(u)))
+    assert np.isclose(nrm, np.linalg.norm(u.astype(np.float64)), rtol=1e-6)
