@@ -24,11 +24,38 @@ _lib = None
 _tried = False
 
 
+_HOSTKEY = os.path.join(_SRC, ".buildhost")
+
+
+def _host_cpu_key() -> str:
+    """Hash of the host CPU profile. The library compiles with
+    -march=native; a container rescheduled onto a host with different
+    vector features must rebuild rather than SIGILL on stale code."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha256(
+                        " ".join(sorted(line.split())).encode()
+                    ).hexdigest()[:16]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha256(platform.processor().encode()).hexdigest()[:16]
+
+
 def _build() -> bool:
     try:
         subprocess.run(["make", "-C", _SRC], check=True,
                        capture_output=True, timeout=120)
-        return os.path.exists(_SO)
+        if os.path.exists(_SO):
+            with open(_HOSTKEY, "w") as f:
+                f.write(_host_cpu_key())
+            return True
+        return False
     except Exception:
         # retry without OpenMP
         try:
@@ -38,13 +65,24 @@ def _build() -> bool:
                  os.path.join(_SRC, "elx_tridiag.cpp"),
                  os.path.join(_SRC, "elx_amd.cpp")],
                 check=True, capture_output=True, timeout=120)
-            return os.path.exists(_SO)
+            if os.path.exists(_SO):
+                with open(_HOSTKEY, "w") as f:
+                    f.write(_host_cpu_key())
+                return True
+            return False
         except Exception:
             return False
 
 
 def _stale() -> bool:
-    """True when any source is newer than the built library."""
+    """True when any source is newer than the built library, or the
+    library was built on a host with a different CPU profile."""
+    try:
+        with open(_HOSTKEY) as f:
+            if f.read().strip() != _host_cpu_key():
+                return True
+    except OSError:
+        return True
     try:
         so_t = os.path.getmtime(_SO)
         for f in os.listdir(_SRC):

@@ -87,24 +87,51 @@ int complex_qr_core(int n, C* T, C* Z, int want_vecs,
                 const C phase = ax > 0.0 ? x / ax : C(1.0);
                 sn = phase * std::conj(y) / r;
             }
-            const C snc = std::conj(sn);
             const int c0 = (k > l) ? k - 1 : l;
-            for (int j = c0; j < n; ++j) {
-                const C tk = t(k, j), tk1 = t(k + 1, j);
-                t(k, j) = cs * tk + sn * tk1;
-                t(k + 1, j) = -snc * tk + cs * tk1;
+            // split-complex rotation application: cs is real and the
+            // per-element complex multiplies unroll into plain double
+            // FMA chains the compiler vectorizes (std::complex
+            // operator* blocks SLP vectorization here)
+            const double csr = cs;
+            const double snr = sn.real(), sni = sn.imag();
+            {
+                double* r0 = reinterpret_cast<double*>(&t(k, c0));
+                double* r1 = reinterpret_cast<double*>(&t(k + 1, c0));
+                const int len2 = 2 * (n - c0);
+                for (int j = 0; j < len2; j += 2) {
+                    const double ar = r0[j], ai = r0[j + 1];
+                    const double br = r1[j], bi = r1[j + 1];
+                    r0[j] = csr * ar + snr * br - sni * bi;
+                    r0[j + 1] = csr * ai + snr * bi + sni * br;
+                    // -conj(sn) * a + cs * b
+                    r1[j] = csr * br - (snr * ar + sni * ai);
+                    r1[j + 1] = csr * bi - (snr * ai - sni * ar);
+                }
             }
             const int hi = (k + 3 < m) ? k + 3 : m;
-            for (int i = 0; i < hi; ++i) {
-                const C ck = t(i, k), ck1 = t(i, k + 1);
-                t(i, k) = cs * ck + snc * ck1;
-                t(i, k + 1) = -sn * ck + cs * ck1;
+            {
+                double* p = reinterpret_cast<double*>(&t(0, k));
+                const size_t st = 2 * (size_t)n;
+                for (int i = 0; i < hi; ++i, p += st) {
+                    const double ar = p[0], ai = p[1];
+                    const double br = p[2], bi = p[3];
+                    // a*cs + b*conj(sn) ; -a*sn + b*cs
+                    p[0] = csr * ar + snr * br + sni * bi;
+                    p[1] = csr * ai + snr * bi - sni * br;
+                    p[2] = csr * br - (snr * ar - sni * ai);
+                    p[3] = csr * bi - (snr * ai + sni * ar);
+                }
             }
             if (want_vecs) {
-                for (int i = 0; i < n; ++i) {
-                    const C ck = z(i, k), ck1 = z(i, k + 1);
-                    z(i, k) = cs * ck + snc * ck1;
-                    z(i, k + 1) = -sn * ck + cs * ck1;
+                double* p = reinterpret_cast<double*>(&z(0, k));
+                const size_t st = 2 * (size_t)n;
+                for (int i = 0; i < n; ++i, p += st) {
+                    const double ar = p[0], ai = p[1];
+                    const double br = p[2], bi = p[3];
+                    p[0] = csr * ar + snr * br + sni * bi;
+                    p[1] = csr * ai + snr * bi - sni * br;
+                    p[2] = csr * br - (snr * ar - sni * ai);
+                    p[3] = csr * bi - (snr * ai + sni * ar);
                 }
             }
             if (k < m - 2) {
