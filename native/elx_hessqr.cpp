@@ -156,23 +156,38 @@ void cswap_adjacent(int n, C* T, C* W, int k) {
     const double nrm = std::hypot(std::abs(v0), std::abs(v1));
     if (nrm == 0.0) return;
     const C cs = v0 / nrm, sn = v1 / nrm;
-    // G = [[cs, -conj(sn)], [sn, conj(cs)]]; T := G^H T G
-    for (int j = 0; j < n; ++j) {
-        const C x = t(k, j), y = t(k + 1, j);
-        t(k, j) = std::conj(cs) * x + std::conj(sn) * y;
-        t(k + 1, j) = -sn * x + cs * y;
+    // G = [[cs, -conj(sn)], [sn, conj(cs)]]; T := G^H T G.
+    // Split-complex (see the QR sweep note): plain double chains
+    // vectorize; std::complex operator* does not.
+    const double csr = cs.real(), csi = cs.imag();
+    const double snr = sn.real(), sni = sn.imag();
+    {
+        double* r0 = reinterpret_cast<double*>(&t(k, 0));
+        double* r1 = reinterpret_cast<double*>(&t(k + 1, 0));
+        for (int j = 0; j < 2 * n; j += 2) {
+            const double xr = r0[j], xi = r0[j + 1];
+            const double yr = r1[j], yi = r1[j + 1];
+            // conj(cs)*x + conj(sn)*y ; -sn*x + cs*y
+            r0[j] = (csr * xr + csi * xi) + (snr * yr + sni * yi);
+            r0[j + 1] = (csr * xi - csi * xr) + (snr * yi - sni * yr);
+            r1[j] = (csr * yr - csi * yi) - (snr * xr - sni * xi);
+            r1[j + 1] = (csr * yi + csi * yr) - (snr * xi + sni * xr);
+        }
     }
-    for (int i = 0; i < n; ++i) {
-        const C x = t(i, k), y = t(i, k + 1);
-        t(i, k) = cs * x + sn * y;
-        t(i, k + 1) = -std::conj(sn) * x + std::conj(cs) * y;
-    }
+    auto colrot = [&](double* p, int rows, size_t st) {
+        for (int i = 0; i < rows; ++i, p += st) {
+            const double xr = p[0], xi = p[1];
+            const double yr = p[2], yi = p[3];
+            // cs*x + sn*y ; -conj(sn)*x + conj(cs)*y
+            p[0] = (csr * xr - csi * xi) + (snr * yr - sni * yi);
+            p[1] = (csr * xi + csi * xr) + (snr * yi + sni * yr);
+            p[2] = (csr * yr + csi * yi) - (snr * xr + sni * xi);
+            p[3] = (csr * yi - csi * yr) - (snr * xi - sni * xr);
+        }
+    };
+    colrot(reinterpret_cast<double*>(&t(0, k)), n, 2 * (size_t)n);
     t(k + 1, k) = 0.0;
-    for (int i = 0; i < n; ++i) {
-        const C x = wv(i, k), y = wv(i, k + 1);
-        wv(i, k) = cs * x + sn * y;
-        wv(i, k + 1) = -std::conj(sn) * x + std::conj(cs) * y;
-    }
+    colrot(reinterpret_cast<double*>(&wv(0, k)), n, 2 * (size_t)n);
 }
 
 }  // namespace
