@@ -27,6 +27,18 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_executables_per_module():
+    """XLA:CPU keeps every jitted executable mmap-ed; a full-suite run
+    accumulates >60k VMAs and hits vm.max_map_count (~65530 default),
+    at which point the compiler SEGFAULTS on a failed mmap (observed
+    deterministically around test ~506 in tests/test_fuzz.py; ~41k maps
+    at 70% of the suite). Dropping the jit caches after every module
+    bounds live executables to one module's worth."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def grid():
     """Default 4x2 grid over the 8 virtual devices."""
