@@ -14,6 +14,11 @@ import time
 import numpy as np
 import jax
 
+if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+    # the axon plugin ignores the env var (it wins at registration);
+    # honor an explicit CPU request by pinning via config (CLAUDE.md)
+    jax.config.update("jax_platforms", "cpu")
+
 import elementalx as El
 from elementalx import DistMatrix
 from elementalx.core.types import (

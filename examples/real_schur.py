@@ -14,6 +14,12 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+import jax
+
+if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+    # the axon plugin ignores the env var (it wins at registration);
+    # honor an explicit CPU request by pinning via config (CLAUDE.md)
+    jax.config.update("jax_platforms", "cpu")
 
 import elementalx as El
 from elementalx import DistMatrix
