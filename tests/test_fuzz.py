@@ -121,6 +121,90 @@ def test_fuzz_redistribution_chain(grid, trial):
     np.testing.assert_array_equal(A.global_array(), a)
 
 
+@pytest.mark.parametrize("trial", range(8))
+def test_fuzz_trsm(grid, trial):
+    r = np.random.default_rng(1100 + trial)
+    n = int(r.integers(2, 40))
+    nrhs = int(r.integers(1, 12))
+    dtype = [np.float64, np.complex128][trial % 2]
+    side = [LEFT, RIGHT][trial % 2]
+    uplo = [LOWER, UPPER][(trial // 2) % 2]
+    orient = [NORMAL, TRANSPOSE, ADJOINT][trial % 3]
+    t = _rand((n, n), dtype)
+    t = (np.tril(t) if uplo == LOWER else np.triu(t)) + 2 * n * np.eye(n)
+    b = _rand((n, nrhs) if side == LEFT else (nrhs, n), dtype)
+    T = DistMatrix.from_global(t, grid=grid)
+    B = DistMatrix.from_global(b, grid=grid)
+    alpha = 1.3
+    X = El.Trsm(side, uplo, orient, NON_UNIT, alpha, T, B).global_array()
+    top = t if orient == NORMAL else (
+        t.T if orient == TRANSPOSE else t.conj().T)
+    res = top @ X - alpha * b if side == LEFT else X @ top - alpha * b
+    assert np.linalg.norm(res) / np.linalg.norm(b) < 1e-10
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_fuzz_ldl_pivoted(grid, trial):
+    """Indefinite symmetric/Hermitian systems through the Bunch-Kaufman
+    factorization (pivoted-LU routing is not a valid oracle here)."""
+    r = np.random.default_rng(1300 + trial)
+    n = int(r.integers(4, 36))
+    dtype = [np.float64, np.complex128][trial % 2]
+    a = _rand((n, n), dtype)
+    a = a + a.conj().T  # indefinite Hermitian
+    b = _rand((n, 3), dtype)
+    A = DistMatrix.from_global(a, grid=grid)
+    B = DistMatrix.from_global(b, grid=grid)
+    from elementalx.lapack.ldl import (InertiaAfterLDL, LDLPivoted,
+                                       SolveAfterPivoted)
+
+    F, dSub, perm = LDLPivoted(A, conjugate=True)
+    X = SolveAfterPivoted(F, dSub, perm, B).global_array()
+    assert np.linalg.norm(a @ X - b) / np.linalg.norm(b) < 1e-9
+    # inertia cross-check against the spectrum
+    w = np.linalg.eigvalsh(a)
+    d = np.diagonal(np.asarray(F.global_array()))[:n]
+    import jax.numpy as jnp
+
+    pos, neg, zero = InertiaAfterLDL(jnp.asarray(d),
+                                     jnp.asarray(dSub)[:max(n - 1, 0)])
+    assert int(pos) == int((w > 0).sum())
+    assert int(neg) == int((w < 0).sum())
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_fuzz_least_squares(grid, trial):
+    r = np.random.default_rng(1500 + trial)
+    m = int(r.integers(8, 48))
+    n = int(r.integers(2, min(m, 20)))
+    dtype = [np.float64, np.complex128][trial % 2]
+    a = _rand((m, n), dtype)
+    b = _rand((m, 2), dtype)
+    A = DistMatrix.from_global(a, grid=grid)
+    B = DistMatrix.from_global(b, grid=grid)
+    X = El.lapack.LeastSquares(NORMAL, A, B).global_array()
+    ref, *_ = np.linalg.lstsq(a, b, rcond=None)
+    assert np.linalg.norm(X - ref) / max(np.linalg.norm(ref), 1e-300) < 1e-8
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_fuzz_svd(grid, trial):
+    r = np.random.default_rng(1700 + trial)
+    m = int(r.integers(4, 40))
+    n = int(r.integers(4, 40))
+    dtype = [np.float64, np.complex128][trial % 2]
+    a = _rand((m, n), dtype)
+    A = DistMatrix.from_global(a, grid=grid)
+    U, s, V = El.SVD(A)
+    s = np.asarray(s)
+    k = min(m, n)
+    ref = np.linalg.svd(a, compute_uv=False)
+    assert np.max(np.abs(np.sort(s)[::-1][:k] - ref)) < 1e-9 * max(
+        ref[0], 1)
+    rec = (U.global_array() * s[None, :]) @ V.global_array().conj().T
+    assert np.linalg.norm(rec - a) / max(np.linalg.norm(a), 1e-300) < 1e-9
+
+
 @pytest.mark.parametrize("trial", range(4))
 def test_fuzz_eig(grid, trial):
     r = np.random.default_rng(900 + trial)
