@@ -25,6 +25,7 @@ from .ozaki import matmul_f64_emulated  # noqa: F401
 from .ring_summa import ring_summa  # noqa: F401
 from .extended import (  # noqa: F401
     dot_extended,
+    matmul_extended,
     norm2_extended,
     sum_extended,
     two_prod,

@@ -93,6 +93,51 @@ def dot_extended(x: jax.Array, y: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return _pairwise_dd(p, e)
 
 
+def _pairwise_dd_axis1(hi: jax.Array, lo: jax.Array
+                       ) -> Tuple[jax.Array, jax.Array]:
+    """Log-depth double-word tree reduction along axis 1 of a 3-D pair."""
+    n = hi.shape[1]
+    while n > 1:
+        half = (n + 1) // 2
+        pad = half * 2 - n
+        if pad:
+            z = jnp.zeros((hi.shape[0], pad, hi.shape[2]), hi.dtype)
+            hi = jnp.concatenate([hi, z], axis=1)
+            lo = jnp.concatenate([lo, z], axis=1)
+        s, e = two_sum(hi[:, 0::2], hi[:, 1::2])
+        lo = e + (lo[:, 0::2] + lo[:, 1::2])
+        hi, e2 = two_sum(s, lo)
+        lo = e2
+        n = half
+    return hi[:, 0], lo[:, 0]
+
+
+def matmul_extended(a: jax.Array, b: jax.Array
+                    ) -> Tuple[jax.Array, jax.Array]:
+    """Double-word matmul: (hi, lo) with hi + lo ~= a @ b at twice the
+    working precision (f64 inputs -> ~106-bit mantissa, the Quad-GEMM
+    role of the reference's QD tier; f32 -> ~48 bits). Every entry is a
+    TwoProd followed by the log-depth double-word tree — pure VPU work,
+    a correctness tier (use kernels/ozaki.py for fast f64-emulated
+    matmuls on the MXU)."""
+    m, K = a.shape
+    K2, n = b.shape
+    if K != K2:
+        raise ValueError("matmul_extended: inner dimensions differ")
+    if K == 0:
+        z = jnp.zeros((m, n), a.dtype)
+        return z, z
+    # bound the (rb, K, n) intermediate to ~2^24 elements
+    rb = max(1, min(m, (1 << 24) // max(K * n, 1) or 1))
+    outs_hi, outs_lo = [], []
+    for r0 in range(0, m, rb):
+        ph, pe = two_prod(a[r0:r0 + rb, :, None], b[None, :, :])
+        h, low = _pairwise_dd_axis1(ph, pe)
+        outs_hi.append(h)
+        outs_lo.append(low)
+    return jnp.concatenate(outs_hi), jnp.concatenate(outs_lo)
+
+
 def norm2_extended(x: jax.Array) -> jax.Array:
     """Euclidean norm with double-word accumulation of the squares."""
     hi, lo = dot_extended(x, x)

@@ -258,3 +258,40 @@ def test_extended_precision_sum_dot():
 
     nrm = float(norm2_extended(jnp.asarray(u)))
     assert np.isclose(nrm, np.linalg.norm(u.astype(np.float64)), rtol=1e-6)
+
+
+def test_extended_precision_matmul():
+    """Double-word matmul (the Quad-GEMM role): f64 inputs with exact
+    integer products beyond the f64 mantissa reproduce the exact
+    integer result; f32-dd beats plain f32 on random data."""
+    import numpy as np
+    from elementalx.kernels.extended import matmul_extended
+
+    rng = np.random.default_rng(3)
+    # integer entries ~2^28: products ~2^56 exceed f64's 53-bit mantissa
+    # entrywise, but the exact integer result is dd-representable
+    n = 24
+    ai = rng.integers(-(1 << 28), 1 << 28, size=(n, n))
+    bi = rng.integers(-(1 << 28), 1 << 28, size=(n, n))
+    exact = ai.astype(object) @ bi.astype(object)
+    hi, lo = matmul_extended(jnp.asarray(ai, jnp.float64),
+                             jnp.asarray(bi, jnp.float64))
+    hi = np.asarray(hi)
+    lo = np.asarray(lo)
+    err = np.empty((n, n), np.float64)
+    for i in range(n):
+        for j in range(n):
+            err[i, j] = float(
+                (int(hi[i, j]) + int(lo[i, j])) - exact[i, j]
+            ) / max(1.0, abs(float(exact[i, j])))
+    assert np.max(np.abs(err)) < 1e-25  # far beyond f64's 1e-16
+
+    # f32-dd vs f64 oracle on random data
+    m, k, p = 17, 300, 9
+    a = rng.standard_normal((m, k)).astype(np.float32)
+    b = rng.standard_normal((k, p)).astype(np.float32)
+    ref = a.astype(np.float64) @ b.astype(np.float64)
+    hi, lo = matmul_extended(jnp.asarray(a), jnp.asarray(b))
+    got = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+    plain = np.asarray(jnp.asarray(a) @ jnp.asarray(b), np.float64)
+    assert np.linalg.norm(got - ref) <= 0.05 * np.linalg.norm(plain - ref)
