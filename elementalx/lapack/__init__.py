@@ -42,10 +42,14 @@ from .props import (  # noqa: F401
     HPDDeterminant,
     InfinityNorm,
     KyFanNorm,
+    HermitianNorm,
     MaxNorm,
+    Norm,
     NuclearNorm,
     OneNorm,
     SchattenNorm,
+    SymmetricMaxNorm,
+    SymmetricNorm,
     SafeDeterminant,
     Trace,
     TwoNorm,

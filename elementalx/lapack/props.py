@@ -107,6 +107,44 @@ def SymmetricMaxNorm(uplo: UpperOrLower, A: DistMatrix) -> jax.Array:
     return MaxAbs(MakeSymmetric(uplo, A.redistribute(MC, MR)))
 
 
+_NORMS = {
+    "one": lambda A: OneNorm(A),
+    "infinity": lambda A: InfinityNorm(A),
+    "entrywise_one": lambda A: EntrywiseNorm(A, 1.0),
+    "max": lambda A: MaxNorm(A),
+    "nuclear": lambda A: NuclearNorm(A),
+    "frobenius": lambda A: FrobeniusNorm(A),
+    "two": lambda A: TwoNorm(A),
+}
+
+
+def Norm(A: DistMatrix, norm_type: str = "frobenius") -> jax.Array:
+    """NormType dispatcher (reference: props.hpp:128 `Norm(A, type)`,
+    FROBENIUS_NORM default). Accepts 'one' | 'infinity' | 'entrywise_one'
+    | 'max' | 'nuclear' | 'frobenius' | 'two' (the reference's enum,
+    lower-cased sans _NORM)."""
+    try:
+        return _NORMS[norm_type.lower()](A)
+    except KeyError:
+        raise ValueError(f"unknown norm type: {norm_type!r} "
+                         f"(expected one of {sorted(_NORMS)})")
+
+
+def SymmetricNorm(uplo: UpperOrLower, A: DistMatrix,
+                  norm_type: str = "frobenius") -> jax.Array:
+    """Norm of a symmetric matrix stored in one triangle
+    (reference: props.hpp:134 SymmetricNorm)."""
+    return Norm(MakeSymmetric(uplo, A.redistribute(MC, MR)), norm_type)
+
+
+def HermitianNorm(uplo: UpperOrLower, A: DistMatrix,
+                  norm_type: str = "frobenius") -> jax.Array:
+    """Hermitian-stored norm (reference: props.hpp:142 HermitianNorm)."""
+    from ..blas.level1 import MakeHermitian
+
+    return Norm(MakeHermitian(uplo, A.redistribute(MC, MR)), norm_type)
+
+
 # ---------------------------------------------------------------------------
 # determinant (reference: props/Determinant.cpp — SafeProduct off LU)
 # ---------------------------------------------------------------------------

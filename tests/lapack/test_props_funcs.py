@@ -154,3 +154,27 @@ def test_pseudoinverse(grid, rng):
     P = Pseudoinverse(DistMatrix.from_global(a, grid=grid)).global_array()
     ref = np.linalg.pinv(a)
     assert np.linalg.norm(P - ref) / np.linalg.norm(ref) < 1e-10
+
+
+def test_norm_dispatcher(grid):
+    """reference: props.hpp:128-146 Norm/SymmetricNorm/HermitianNorm
+    with a NormType argument."""
+    import numpy.linalg as la
+    from elementalx.lapack import HermitianNorm, Norm, SymmetricNorm
+
+    rng = np.random.default_rng(11)
+    a = rng.standard_normal((9, 7))
+    A = DistMatrix.from_global(a, grid=grid)
+    for k, ref in [("one", la.norm(a, 1)), ("infinity", la.norm(a, np.inf)),
+                   ("max", np.abs(a).max()), ("frobenius", la.norm(a)),
+                   ("two", la.norm(a, 2)), ("nuclear", la.norm(a, "nuc")),
+                   ("entrywise_one", np.abs(a).sum())]:
+        assert abs(float(Norm(A, k)) - ref) < 1e-10 * max(ref, 1), k
+    s = a[:7, :7] + a[:7, :7].T
+    S = DistMatrix.from_global(np.tril(s), grid=grid)
+    assert abs(float(SymmetricNorm(LOWER, S, "frobenius"))
+               - la.norm(s)) < 1e-10 * la.norm(s)
+    assert abs(float(HermitianNorm(LOWER, S, "max"))
+               - np.abs(s).max()) < 1e-10
+    with pytest.raises(ValueError):
+        Norm(A, "bogus")
