@@ -97,7 +97,17 @@ from .schur import (  # noqa: F401
 from . import schur_real  # noqa: F401
 from . import pseudospectra  # noqa: F401
 from .pseudospectra import (Pseudospectra, TriangularPseudospectra,  # noqa: F401
-                            OneNormPseudospectra)
+                            OneNormPseudospectra,
+                            SpectralPortrait, SpectralWindow, SpectralCloud,
+                            TriangularSpectralPortrait,
+                            TriangularSpectralWindow,
+                            TriangularSpectralCloud,
+                            QuasiTriangularSpectralPortrait,
+                            QuasiTriangularSpectralWindow,
+                            QuasiTriangularSpectralCloud,
+                            HessenbergSpectralPortrait,
+                            HessenbergSpectralWindow,
+                            HessenbergSpectralCloud)
 from . import secular  # noqa: F401
 from .secular import CubicSecular, SecularEVD, SecularSVD  # noqa: F401
 from . import gqr  # noqa: F401

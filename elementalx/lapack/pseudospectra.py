@@ -24,7 +24,7 @@ from ..core.types import MC, MR
 from .schur import Schur
 
 
-class SpectralPortrait(NamedTuple):
+class PseudospectraResult(NamedTuple):
     inv_norm_map: jax.Array   # ||(A - z I)^{-1}||_2 at each grid point
     sigma_min_map: jax.Array  # sigma_min(A - z I)
     real_grid: jax.Array
@@ -263,7 +263,7 @@ def _one_norm_resolvent(T: jax.Array, z: jax.Array, iters: int
 def OneNormPseudospectra(A: DistMatrix, real_bounds, imag_bounds,
                          real_size: int = 32, imag_size: int = 32,
                          iters: int = 10,
-                         schur_alg: str = "qr") -> SpectralPortrait:
+                         schur_alg: str = "qr") -> PseudospectraResult:
     """One-norm pseudospectra portrait ||(A - zI)^{-1}||_1 via the
     Hager-Higham estimator (reference: Pseudospectra/HagerHigham.hpp and
     the psCtrl.norm == PS_ONE_NORM drivers). sigma_min_map holds the
@@ -276,7 +276,7 @@ def OneNormPseudospectra(A: DistMatrix, real_bounds, imag_bounds,
     zs = (re[None, :] + 1j * im[:, None]).astype(T.dtype).reshape(-1)
     est = jax.vmap(lambda z: _one_norm_resolvent(T, z, iters))(zs)
     est = est.reshape(imag_size, real_size)
-    return SpectralPortrait(est, 1.0 / est, re, im)
+    return PseudospectraResult(est, 1.0 / est, re, im)
 
 
 def Pseudospectra(A: DistMatrix,
@@ -286,7 +286,7 @@ def Pseudospectra(A: DistMatrix,
                   imag_size: int = 32,
                   iters: int = 20,
                   schur_alg: str = "qr",
-                  alg: str = "power") -> SpectralPortrait:
+                  alg: str = "power") -> PseudospectraResult:
     """Resolvent-norm portrait over a shift grid
     (reference: TriangularPseudospectra / general drivers,
     Pseudospectra.cpp; alg='power' or 'lanczos' mirroring the
@@ -308,12 +308,12 @@ def Pseudospectra(A: DistMatrix,
         kernel = lambda z, k: _sigma_min_shifted(T, z, iters, k)  # noqa: E731
     smin = jax.vmap(kernel)(zs, keys)
     smin = smin.reshape(imag_size, real_size)
-    return SpectralPortrait(1.0 / smin, smin, re, im)
+    return PseudospectraResult(1.0 / smin, smin, re, im)
 
 
 def TriangularPseudospectra(T: DistMatrix, real_bounds, imag_bounds,
                             real_size: int = 32, imag_size: int = 32,
-                            iters: int = 20) -> SpectralPortrait:
+                            iters: int = 20) -> PseudospectraResult:
     """Portrait given an already-triangular T (reference:
     TriangularPseudospectra entry points)."""
     n = T.m
@@ -327,4 +327,319 @@ def TriangularPseudospectra(T: DistMatrix, real_bounds, imag_bounds,
     keys = jax.random.split(jax.random.key(11), zs.shape[0])
     smin = jax.vmap(lambda z, k: _sigma_min_shifted(Tc, z, iters, k))(zs, keys)
     smin = smin.reshape(imag_size, real_size)
-    return SpectralPortrait(1.0 / smin, smin, re, im)
+    return PseudospectraResult(1.0 / smin, smin, re, im)
+
+
+# ---------------------------------------------------------------------------
+# dense-form kernel (Hessenberg / quasi-triangular inputs): one LU per
+# shift, then the same inverse power iteration with LU-backed solves
+# (reference routes these forms through MultiShift{Hess,Quasi}Solve;
+# one batched LU is the TPU-shaped equivalent — vmapped over shifts)
+# ---------------------------------------------------------------------------
+
+
+def _unit_lower_fwd(L: jax.Array, b: jax.Array) -> jax.Array:
+    """Forward substitution with unit lower-triangular L (hand-rolled:
+    XLA:TPU lacks complex TriangularSolve)."""
+    n = L.shape[0]
+
+    def body(k, x):
+        row = L[k, :]
+        s = jnp.sum(row * x) - row[k] * x[k]
+        return x.at[k].set(b[k] - s)
+
+    return jax.lax.fori_loop(0, n, body, jnp.zeros_like(b))
+
+
+def _unit_lower_adj_bwd(L: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve L^H x = b for unit lower L (back substitution on conj)."""
+    n = L.shape[0]
+
+    def body(i, x):
+        k = n - 1 - i
+        col = jnp.conj(L[:, k])
+        s = jnp.sum(col * x) - col[k] * x[k]
+        return x.at[k].set(b[k] - s)
+
+    return jax.lax.fori_loop(0, n, body, jnp.zeros_like(b))
+
+
+def _sigma_min_dense(Ac: jax.Array, z: jax.Array, iters: int,
+                     key) -> jax.Array:
+    """sigma_min(A - zI) for a general square A (used for Hessenberg and
+    quasi-triangular forms): LU once, inverse power on (A-z)^H (A-z)."""
+    n = Ac.shape[0]
+    M = Ac - z * jnp.eye(n, dtype=Ac.dtype)
+    lu, _, perm = jax.lax.linalg.lu(M)
+    # guard exact-eigenvalue shifts as in _sigma_min_shifted
+    dnorm = jnp.maximum(jnp.max(jnp.abs(Ac)), 1.0)
+    floor = jnp.finfo(jnp.abs(M).dtype).eps * dnorm * 1e-2
+    diag = jnp.diagonal(lu)
+    mag = jnp.abs(diag)
+    safe = jnp.where(mag < floor, floor.astype(lu.dtype)
+                     * jnp.where(mag == 0, 1.0, diag / jnp.where(
+                         mag == 0, 1.0, mag)), diag)
+    i2 = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j2 = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    lu = jnp.where(i2 == j2, safe[jnp.minimum(i2, n - 1)], lu)
+    Lm = jnp.where(i2 > j2, lu, jnp.zeros_like(lu))
+    Lm = jnp.where(i2 == j2, jnp.ones((), lu.dtype), Lm)
+    U = jnp.where(i2 <= j2, lu, jnp.zeros_like(lu))
+
+    def solveM(b):
+        # M[perm] = L U  =>  M x = b  <=>  L U x = b[perm]
+        y = _unit_lower_fwd(Lm, b[perm])
+        return _tri_solve_upper(U, y)
+
+    def solveMH(b):
+        # M^H x = b with M = P^T L U: U^H w = b, L^H v = w, x[perm] = v
+        w = _tri_solve_upper_adj(U, b)
+        v = _unit_lower_adj_bwd(Lm, w)
+        return jnp.zeros_like(v).at[perm].set(v)
+
+    x0 = jax.random.normal(key, (n,), jnp.float64).astype(Ac.dtype)
+    x0 = x0 / jnp.sqrt(jnp.sum(jnp.abs(x0) ** 2))
+
+    def body(_, x):
+        w = solveM(solveMH(x))
+        nw = jnp.sqrt(jnp.sum(jnp.abs(w) ** 2))
+        return w / jnp.where(nw == 0, 1, nw)
+
+    x = jax.lax.fori_loop(0, iters, body, x0)
+    w = solveM(solveMH(x))
+    lam = jnp.sqrt(jnp.sum(jnp.abs(w) ** 2))
+    return 1.0 / jnp.sqrt(lam)
+
+
+# ---------------------------------------------------------------------------
+# the reference's public driver census (spectral.hpp:1530-1660):
+#   SpectralPortrait  — auto-box around the spectrum
+#   SpectralWindow    — caller-specified center/width window
+#   SpectralCloud     — arbitrary shift list
+# each also in Triangular / QuasiTriangular / Hessenberg form
+# ---------------------------------------------------------------------------
+
+
+class SpectralCloudResult(NamedTuple):
+    inv_norms: jax.Array   # ||(A - z_j I)^{-1}||_2 per shift
+    sigma_min: jax.Array
+
+
+def _complex_of(dt):
+    return jnp.complex64 if dt in (jnp.float32, jnp.complex64) \
+        else jnp.complex128
+
+
+def _auto_box(eigs: jax.Array):
+    """Portrait box: the spectrum's bounding box padded on each side by
+    half its span (reference: pspec::SetBox-style auto window), with a
+    norm-scaled floor for degenerate (point) spectra."""
+    re, im = jnp.real(eigs), jnp.imag(eigs)
+    r0, r1 = float(jnp.min(re)), float(jnp.max(re))
+    i0, i1 = float(jnp.min(im)), float(jnp.max(im))
+    scale = max(abs(r0), abs(r1), abs(i0), abs(i1), 1e-3)
+    wr = max(r1 - r0, 0.5 * scale)
+    wi = max(i1 - i0, 0.5 * scale)
+    return ((r0 - 0.5 * wr, r1 + 0.5 * wr), (i0 - 0.5 * wi, i1 + 0.5 * wi))
+
+
+def _grid_portrait(kern, dtype, real_bounds, imag_bounds, real_size,
+                   imag_size) -> PseudospectraResult:
+    re = jnp.linspace(real_bounds[0], real_bounds[1], real_size)
+    im = jnp.linspace(imag_bounds[0], imag_bounds[1], imag_size)
+    zs = (re[None, :] + 1j * im[:, None]).astype(dtype).reshape(-1)
+    keys = jax.random.split(jax.random.key(11), zs.shape[0])
+    smin = jax.vmap(kern)(zs, keys)
+    smin = smin.reshape(imag_size, real_size)
+    return PseudospectraResult(1.0 / smin, smin, re, im)
+
+
+def _cloud(kern, dtype, shifts) -> SpectralCloudResult:
+    zs = jnp.asarray(shifts).astype(dtype).reshape(-1)
+    keys = jax.random.split(jax.random.key(11), zs.shape[0])
+    smin = jax.vmap(kern)(zs, keys)
+    return SpectralCloudResult(1.0 / smin, smin)
+
+
+def _tri_kernel(Tc, iters):
+    return lambda z, k: _sigma_min_shifted(Tc, z, iters, k)
+
+
+def _dense_kernel(Ac, iters):
+    return lambda z, k: _sigma_min_dense(Ac, z, iters, k)
+
+
+def _schur_tri(A: DistMatrix, schur_alg: str):
+    dec = Schur(A, want_vecs=False, alg=schur_alg, form="complex")
+    n = A.m
+    return dec.T.replicated()[:n, :n]
+
+
+def SpectralPortrait(A: DistMatrix, real_size: int = 32,
+                     imag_size: int = 32, iters: int = 20,
+                     schur_alg: str = "qr") -> PseudospectraResult:
+    """Auto-windowed portrait (reference: spectral.hpp:1536
+    SpectralPortrait — the box is derived from the spectrum)."""
+    T = _schur_tri(A, schur_alg)
+    rb, ib = _auto_box(jnp.diagonal(T))
+    return _grid_portrait(_tri_kernel(T, iters), T.dtype, rb, ib,
+                          real_size, imag_size)
+
+
+def SpectralWindow(A: DistMatrix, center, real_width: float,
+                   imag_width: float, real_size: int = 32,
+                   imag_size: int = 32, iters: int = 20,
+                   schur_alg: str = "qr") -> PseudospectraResult:
+    """Caller-windowed portrait (reference: spectral.hpp SpectralWindow:
+    center + real/imag widths)."""
+    c = complex(center)
+    rb = (c.real - real_width / 2, c.real + real_width / 2)
+    ib = (c.imag - imag_width / 2, c.imag + imag_width / 2)
+    T = _schur_tri(A, schur_alg)
+    return _grid_portrait(_tri_kernel(T, iters), T.dtype, rb, ib,
+                          real_size, imag_size)
+
+
+def SpectralCloud(A: DistMatrix, shifts, iters: int = 20,
+                  schur_alg: str = "qr") -> SpectralCloudResult:
+    """Resolvent norms at an arbitrary shift list (reference:
+    spectral.hpp SpectralCloud)."""
+    T = _schur_tri(A, schur_alg)
+    return _cloud(_tri_kernel(T, iters), T.dtype, shifts)
+
+
+def _tri_of(T: DistMatrix):
+    n = T.m
+    Td = T.replicated()[:n, :n]
+    return Td.astype(_complex_of(Td.dtype))
+
+
+def TriangularSpectralPortrait(T: DistMatrix, real_size: int = 32,
+                               imag_size: int = 32, iters: int = 20
+                               ) -> PseudospectraResult:
+    Tc = _tri_of(T)
+    rb, ib = _auto_box(jnp.diagonal(Tc))
+    return _grid_portrait(_tri_kernel(Tc, iters), Tc.dtype, rb, ib,
+                          real_size, imag_size)
+
+
+def TriangularSpectralWindow(T: DistMatrix, center, real_width: float,
+                             imag_width: float, real_size: int = 32,
+                             imag_size: int = 32, iters: int = 20
+                             ) -> PseudospectraResult:
+    c = complex(center)
+    Tc = _tri_of(T)
+    return _grid_portrait(
+        _tri_kernel(Tc, iters), Tc.dtype,
+        (c.real - real_width / 2, c.real + real_width / 2),
+        (c.imag - imag_width / 2, c.imag + imag_width / 2),
+        real_size, imag_size)
+
+
+def TriangularSpectralCloud(T: DistMatrix, shifts, iters: int = 20
+                            ) -> SpectralCloudResult:
+    Tc = _tri_of(T)
+    return _cloud(_tri_kernel(Tc, iters), Tc.dtype, shifts)
+
+
+def _quasi_eigs(Tq: jax.Array) -> jax.Array:
+    """Eigenvalues of a real quasi-triangular matrix: diagonal entries
+    plus conjugate pairs from the 2x2 blocks."""
+    n = Tq.shape[0]
+    d = jnp.diagonal(Tq)
+    sub = jnp.concatenate([jnp.diagonal(Tq, -1), jnp.zeros((1,), Tq.dtype)])
+    sup = jnp.concatenate([jnp.diagonal(Tq, 1), jnp.zeros((1,), Tq.dtype)])
+    dn = jnp.concatenate([d[1:], jnp.zeros((1,), Tq.dtype)])
+    mean = (d + dn) / 2
+    disc = (d - dn) ** 2 / 4 + sup * sub
+    start = sub != 0
+    root = jnp.sqrt(jnp.abs(disc))
+    lam_re = jnp.where(start & (disc < 0), mean, d)
+    lam_im = jnp.where(start & (disc < 0), root, 0.0)
+    # real-splitting 2x2 (disc >= 0) keeps its two real roots
+    lam_re = jnp.where(start & (disc >= 0), mean + root, lam_re)
+    prev = jnp.concatenate([jnp.zeros((1,), bool), start[:-1]])
+    pm = jnp.concatenate([jnp.zeros((1,), Tq.dtype), mean[:-1]])
+    pr = jnp.concatenate([jnp.zeros((1,), Tq.dtype), root[:-1]])
+    pd = jnp.concatenate([jnp.zeros((1,), Tq.dtype),
+                          jnp.asarray(disc)[:-1]])
+    pi = jnp.concatenate([jnp.zeros((1,), Tq.dtype), lam_im[:-1]])
+    lam_re = jnp.where(prev & (pd >= 0), pm - pr, lam_re)
+    lam_re = jnp.where(prev & (pd < 0), pm, lam_re)
+    lam_im = jnp.where(prev, -pi, lam_im)
+    return lam_re + 1j * lam_im
+
+
+def _quasi_of(T: DistMatrix):
+    n = T.m
+    Td = T.replicated()[:n, :n]
+    return Td, Td.astype(_complex_of(Td.dtype))
+
+
+def QuasiTriangularSpectralPortrait(T: DistMatrix, real_size: int = 32,
+                                    imag_size: int = 32, iters: int = 20
+                                    ) -> PseudospectraResult:
+    """Portrait of a REAL quasi-triangular Schur factor (reference:
+    spectral.hpp:1589 QuasiTriangularSpectralPortrait). The input stays
+    real (TPU-transferable); shifts are complex internally."""
+    Td, Tc = _quasi_of(T)
+    rb, ib = _auto_box(_quasi_eigs(Td))
+    return _grid_portrait(_dense_kernel(Tc, iters), Tc.dtype, rb, ib,
+                          real_size, imag_size)
+
+
+def QuasiTriangularSpectralWindow(T: DistMatrix, center,
+                                  real_width: float, imag_width: float,
+                                  real_size: int = 32, imag_size: int = 32,
+                                  iters: int = 20) -> PseudospectraResult:
+    c = complex(center)
+    _, Tc = _quasi_of(T)
+    return _grid_portrait(
+        _dense_kernel(Tc, iters), Tc.dtype,
+        (c.real - real_width / 2, c.real + real_width / 2),
+        (c.imag - imag_width / 2, c.imag + imag_width / 2),
+        real_size, imag_size)
+
+
+def QuasiTriangularSpectralCloud(T: DistMatrix, shifts, iters: int = 20
+                                 ) -> SpectralCloudResult:
+    _, Tc = _quasi_of(T)
+    return _cloud(_dense_kernel(Tc, iters), Tc.dtype, shifts)
+
+
+def HessenbergSpectralPortrait(H: DistMatrix, real_size: int = 32,
+                               imag_size: int = 32, iters: int = 20
+                               ) -> PseudospectraResult:
+    """Portrait of an upper-Hessenberg matrix without triangularizing
+    it (reference: spectral.hpp:1625 HessenbergSpectralPortrait); the
+    box needs the spectrum, so a vector-only Schur runs for the eigs."""
+    n = H.m
+    Hd = H.replicated()[:n, :n]
+    Hc = Hd.astype(_complex_of(Hd.dtype))
+    w = Schur(H, want_vecs=False, form="complex").w
+    rb, ib = _auto_box(jnp.asarray(w))
+    return _grid_portrait(_dense_kernel(Hc, iters), Hc.dtype, rb, ib,
+                          real_size, imag_size)
+
+
+def HessenbergSpectralWindow(H: DistMatrix, center, real_width: float,
+                             imag_width: float, real_size: int = 32,
+                             imag_size: int = 32, iters: int = 20
+                             ) -> PseudospectraResult:
+    c = complex(center)
+    n = H.m
+    Hc = H.replicated()[:n, :n]
+    Hc = Hc.astype(_complex_of(Hc.dtype))
+    return _grid_portrait(
+        _dense_kernel(Hc, iters), Hc.dtype,
+        (c.real - real_width / 2, c.real + real_width / 2),
+        (c.imag - imag_width / 2, c.imag + imag_width / 2),
+        real_size, imag_size)
+
+
+def HessenbergSpectralCloud(H: DistMatrix, shifts, iters: int = 20
+                            ) -> SpectralCloudResult:
+    n = H.m
+    Hc = H.replicated()[:n, :n]
+    Hc = Hc.astype(_complex_of(Hc.dtype))
+    return _cloud(_dense_kernel(Hc, iters), Hc.dtype, shifts)

@@ -301,3 +301,54 @@ def test_native_hess_qr(rng):
     wgot = np.sort(np.diag(T))
     assert np.max(np.abs(np.sort_complex(wref) - np.sort_complex(wgot))) \
         / np.max(np.abs(wref)) < 1e-8
+
+
+def test_spectral_driver_family(grid, rng):
+    """The reference's public portrait census (spectral.hpp:1530-1660):
+    SpectralPortrait/Window/Cloud + Triangular/QuasiTriangular/
+    Hessenberg forms, cross-checked against the SVD sigma_min oracle."""
+    from elementalx.lapack import (HessenbergSpectralCloud,
+                                   QuasiTriangularSpectralCloud,
+                                   QuasiTriangularSpectralPortrait,
+                                   SpectralCloud, SpectralPortrait,
+                                   SpectralWindow)
+
+    n = 18
+    a = rng.standard_normal((n, n))
+    A = DistMatrix.from_global(a, grid=grid)
+    shifts = np.asarray([0.4 + 0.3j, -0.9 + 0.1j])
+    ref = np.asarray([np.linalg.svd(a - z * np.eye(n),
+                                    compute_uv=False)[-1] for z in shifts])
+
+    cloud = SpectralCloud(A, shifts, iters=60)
+    assert np.allclose(np.asarray(cloud.sigma_min), ref, rtol=1e-8)
+
+    dec = Schur(A)  # real quasi-triangular form
+    qc = QuasiTriangularSpectralCloud(dec.T, shifts, iters=60)
+    assert np.allclose(np.asarray(qc.sigma_min), ref, rtol=1e-8)
+
+    # Hessenberg form of the same matrix has the same resolvent norms
+    from elementalx.core.types import UPPER
+    from elementalx.lapack import Hessenberg
+
+    hf = Hessenberg(UPPER, A)
+    h = np.triu(np.asarray(hf[0].global_array()
+                           if isinstance(hf, tuple)
+                           else hf.packed.global_array()), -1)
+    hc = HessenbergSpectralCloud(DistMatrix.from_global(h, grid=grid),
+                                 shifts, iters=60)
+    assert np.allclose(np.asarray(hc.sigma_min), ref, rtol=1e-8)
+
+    # auto-box portraits cover the spectrum
+    w = np.linalg.eigvals(a)
+    p = SpectralPortrait(A, real_size=6, imag_size=6, iters=10)
+    assert float(p.real_grid[0]) <= w.real.min() <= w.real.max() \
+        <= float(p.real_grid[-1])
+    assert float(p.imag_grid[0]) <= w.imag.min() <= w.imag.max() \
+        <= float(p.imag_grid[-1])
+    pq = QuasiTriangularSpectralPortrait(dec.T, real_size=5, imag_size=5,
+                                         iters=10)
+    assert float(pq.real_grid[0]) <= w.real.min()
+    pw = SpectralWindow(A, 0.5 + 0.0j, 2.0, 2.0, real_size=5, imag_size=5,
+                        iters=10)
+    assert np.asarray(pw.inv_norm_map).shape == (5, 5)
