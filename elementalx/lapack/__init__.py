@@ -16,7 +16,9 @@ from .qr import QR, ApplyQ, CholeskyQR, ColPivQR, ExplicitQR, TSQR  # noqa: F401
 from . import lq  # noqa: F401
 from .lq import LQ, ExplicitLQ, ExplicitRQ  # noqa: F401
 from . import ldl  # noqa: F401
-from .ldl import LDL, Inertia, RegularizedLDL  # noqa: F401
+from .ldl import (LDL, Inertia, RegularizedLDL,  # noqa: F401
+                  RegularizedSolveAfter, LDLPivoted, SolveAfterPivoted,
+                  InertiaAfterLDL)
 from . import reflect  # noqa: F401
 from . import condense  # noqa: F401
 from .condense import Bidiag, Hessenberg, HermitianTridiag  # noqa: F401
@@ -72,6 +74,7 @@ from .funcs import (  # noqa: F401
 from . import euclidean_min  # noqa: F401
 from .euclidean_min import GLM, LSE, LeastSquares, Ridge, Tikhonov  # noqa: F401
 from . import solve  # noqa: F401
+from .gmres import FGMRES, LGMRES  # noqa: F401
 from .solve import (  # noqa: F401
     HermitianSolve,
     MultiShiftHessSolve,

@@ -129,6 +129,37 @@ def RegularizedLDL(A: DistMatrix, reg: jax.Array, conjugate: bool = True,
     return LDL(Am.with_data(d), conjugate, blocksize)
 
 
+def RegularizedSolveAfter(A: DistMatrix, reg: jax.Array, F: DistMatrix,
+                          B: DistMatrix, conjugate: bool = True,
+                          rel_tol: float = 1e-8, restart: int = 4,
+                          max_its: int = 8, alg: str = "fgmres"
+                          ) -> DistMatrix:
+    """Solve A X = B given F = RegularizedLDL(A, reg): the factorization
+    of A + diag(reg) preconditions FGMRES/LGMRES on the UNregularized
+    system (reference: factor.hpp RegSolveCtrl with REG_SOLVE_FGMRES /
+    REG_SOLVE_LGMRES + solve/{FGMRES,LGMRES}.hpp — the IPM solve path)."""
+    from .gmres import FGMRES, LGMRES
+
+    n = A.m
+    Ad = A.replicated()[:n, :n]
+    grid = B.grid
+
+    def applyA(v):
+        return Ad @ v
+
+    def prec(v):
+        Vd = DistMatrix.from_global(
+            jnp.asarray(v)[:, None] if jnp.asarray(v).ndim == 1
+            else jnp.asarray(v), grid=grid)
+        out = SolveAfter(F, Vd, conjugate)
+        return out.replicated()[:n, 0]
+
+    solver = FGMRES if alg.lower() == "fgmres" else LGMRES
+    X, _ = solver(applyA, prec, B, rel_tol=rel_tol, restart=restart,
+                  max_its=max_its)
+    return X
+
+
 def Inertia(A: DistMatrix, blocksize: Optional[int] = None,
             pivoted: bool = False):
     """(num positive, num negative, num zero) eigenvalue counts via the
