@@ -690,3 +690,140 @@ def QuasiDiagonalSolve(side, uplo: UpperOrLower, d: jax.Array,
     y = jnp.where(startv[:, None], y_start,
                   jnp.where(endv[:, None], y_end, y_single))
     return _like(X, y)
+
+
+# -- swaps / 2x2 transforms / min-abs reductions (level1 census tail) -------
+
+
+def RowSwap(A: DistMatrix, to: int, frm: int) -> DistMatrix:
+    """Swap rows `to` and `frm` (reference: Swap.cpp RowSwap)."""
+    Am = A.redistribute(MC, MR)
+    d = Am.data
+    ri = d[to, :]
+    rj = d[frm, :]
+    return Am.with_data(d.at[to, :].set(rj).at[frm, :].set(ri))
+
+
+def ColSwap(A: DistMatrix, to: int, frm: int) -> DistMatrix:
+    """Swap columns `to` and `frm` (reference: Swap.cpp ColSwap)."""
+    Am = A.redistribute(MC, MR)
+    d = Am.data
+    ci = d[:, to]
+    cj = d[:, frm]
+    return Am.with_data(d.at[:, to].set(cj).at[:, frm].set(ci))
+
+
+def SymmetricSwap(uplo: UpperOrLower, A: DistMatrix, to: int, frm: int,
+                  conjugate: bool = False) -> DistMatrix:
+    """Symmetric swap of index pair (to, frm) on a triangle-stored
+    matrix (reference: Swap.cpp SymmetricSwap): symmetrize, swap the
+    row AND column, re-trapezoidalize."""
+    full = MakeHermitian(uplo, A) if conjugate else MakeSymmetric(uplo, A)
+    out = ColSwap(RowSwap(full, to, frm), to, frm)
+    return MakeTrapezoidal(uplo, out)
+
+
+def HermitianSwap(uplo: UpperOrLower, A: DistMatrix, to: int, frm: int
+                  ) -> DistMatrix:
+    """Reference: Swap.cpp HermitianSwap."""
+    return SymmetricSwap(uplo, A, to, frm, conjugate=True)
+
+
+def Transform2x2(G, a1: DistMatrix, a2: DistMatrix
+                 ) -> Tuple[DistMatrix, DistMatrix]:
+    """[a1, a2] := [a1, a2] G^T for column vectors — equivalently
+    [a1; a2] := G [a1; a2] for row vectors (reference:
+    Transform2x2.cpp:14-60). Returns the transformed pair."""
+    G = jnp.asarray(G)
+    g11, g12, g21, g22 = G[0, 0], G[0, 1], G[1, 0], G[1, 1]
+    x1 = a1.redistribute(MC, MR)
+    x2 = a2.redistribute(MC, MR)
+    n1 = g11 * x1.data + g12 * x2.data
+    n2 = g21 * x1.data + g22 * x2.data
+    return x1.with_data(n1.astype(x1.dtype)), \
+        x2.with_data(n2.astype(x2.dtype))
+
+
+def Transform2x2Rows(G, A: DistMatrix, i1: int, i2: int) -> DistMatrix:
+    """[A(i1,:); A(i2,:)] := G [A(i1,:); A(i2,:)] (reference:
+    Transform2x2.cpp Transform2x2Rows)."""
+    G = jnp.asarray(G)
+    Am = A.redistribute(MC, MR)
+    d = Am.data
+    r1, r2 = d[i1, :], d[i2, :]
+    n1 = G[0, 0] * r1 + G[0, 1] * r2
+    n2 = G[1, 0] * r1 + G[1, 1] * r2
+    return Am.with_data(
+        d.at[i1, :].set(n1.astype(d.dtype)).at[i2, :].set(
+            n2.astype(d.dtype)))
+
+
+def Transform2x2Cols(G, A: DistMatrix, j1: int, j2: int) -> DistMatrix:
+    """[A(:,j1), A(:,j2)] := [A(:,j1), A(:,j2)] G^T (reference:
+    Transform2x2.cpp Transform2x2Cols)."""
+    G = jnp.asarray(G)
+    Am = A.redistribute(MC, MR)
+    d = Am.data
+    c1, c2 = d[:, j1], d[:, j2]
+    n1 = G[0, 0] * c1 + G[0, 1] * c2
+    n2 = G[1, 0] * c1 + G[1, 1] * c2
+    return Am.with_data(
+        d.at[:, j1].set(n1.astype(d.dtype)).at[:, j2].set(
+            n2.astype(d.dtype)))
+
+
+def RowMaxNorms(A: DistMatrix) -> jax.Array:
+    """max_j |a_ij| per row (reference: RowNorms.cpp RowMaxNorms).
+    Padded (P,) output; rows >= m are zero."""
+    return jnp.max(jnp.abs(A.data), axis=1)
+
+
+def ColumnMinAbs(A: DistMatrix) -> jax.Array:
+    """min_i |a_ij| per column over the live m rows (reference:
+    ColumnMinAbs.cpp). Padded output; columns >= n are zero."""
+    absa = jnp.abs(A.data)
+    P, Q = absa.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (P, Q), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (P, Q), 1)
+    big = jnp.asarray(jnp.inf, absa.dtype)
+    mins = jnp.min(jnp.where(rows < A.m, absa, big), axis=0)
+    return jnp.where(jnp.arange(Q) < A.n, mins, jnp.zeros((), absa.dtype))
+
+
+def RowMinAbs(A: DistMatrix) -> jax.Array:
+    """Reference: RowMinAbs.cpp."""
+    return ColumnMinAbs(Transpose(A))
+
+
+def ColumnMinAbsNonzero(A: DistMatrix) -> jax.Array:
+    """Per-column min |a_ij| over the NONZERO live entries, 0 if the
+    column is all zero (reference: ColumnMinAbs.cpp nonzero variant)."""
+    absa = jnp.abs(A.data)
+    P, Q = absa.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (P, Q), 0)
+    big = jnp.asarray(jnp.inf, absa.dtype)
+    live = (rows < A.m) & (absa > 0)
+    mins = jnp.min(jnp.where(live, absa, big), axis=0)
+    mins = jnp.where(jnp.isinf(mins), jnp.zeros((), absa.dtype), mins)
+    return jnp.where(jnp.arange(Q) < A.n, mins, jnp.zeros((), absa.dtype))
+
+
+def RowMinAbsNonzero(A: DistMatrix) -> jax.Array:
+    return ColumnMinAbsNonzero(Transpose(A))
+
+
+def ColumnTwoNorms(A: DistMatrix) -> jax.Array:
+    """Alias of ColumnNorms (reference: ColumnNorms.cpp exports both)."""
+    return ColumnNorms(A)
+
+
+def RowTwoNorms(A: DistMatrix) -> jax.Array:
+    return RowNorms(A)
+
+
+def RealToComplex(A: DistMatrix) -> DistMatrix:
+    """Widen a real matrix to the matching complex dtype (reference:
+    Copy.hpp's mixed-type copies)."""
+    Am = A.redistribute(MC, MR)
+    cdt = jnp.complex64 if Am.dtype == jnp.float32 else jnp.complex128
+    return Am.with_data(Am.data.astype(cdt))

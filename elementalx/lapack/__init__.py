@@ -52,6 +52,21 @@ from .props import (  # noqa: F401
     SchattenNorm,
     SymmetricMaxNorm,
     SymmetricNorm,
+    HermitianFrobeniusNorm,
+    HermitianMaxNorm,
+    HermitianEntrywiseNorm,
+    HermitianNuclearNorm,
+    HermitianSchattenNorm,
+    HermitianKyFanNorm,
+    HermitianTwoNorm,
+    HermitianTwoNormEstimate,
+    SymmetricFrobeniusNorm,
+    SymmetricEntrywiseNorm,
+    SymmetricNuclearNorm,
+    SymmetricSchattenNorm,
+    SymmetricKyFanNorm,
+    SymmetricTwoNorm,
+    SymmetricTwoNormEstimate,
     SafeDeterminant,
     Trace,
     TwoNorm,
@@ -62,6 +77,9 @@ from . import funcs  # noqa: F401
 from .funcs import (  # noqa: F401
     HermitianFunction,
     HermitianInverse,
+    HermitianPseudoinverse,
+    HermitianSign,
+    HPSDCholesky,
     HPDInverse,
     HPSDSquareRoot,
     Inverse,

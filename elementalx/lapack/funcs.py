@@ -189,3 +189,63 @@ def HermitianFunction(uplo: UpperOrLower, A: DistMatrix, f) -> DistMatrix:
 
     w, Q = HermitianEig(uplo, A)
     return HermitianFromEVD(uplo, Q, f(w))
+
+
+def HermitianSign(uplo: UpperOrLower, A: DistMatrix,
+                  want_n: bool = False):
+    """Matrix sign of a Hermitian matrix via its eigendecomposition,
+    A := Q sgn(Lambda) Q^H; with ``want_n`` also returns
+    N = Q |Lambda| Q^H (reference: funcs/Sign.cpp HermitianSign —
+    zero eigenvalues map to sign 0, as there)."""
+    from ..blas.level3 import HermitianFromEVD
+    from .hermitian_eig import HermitianEig
+
+    w, Q = HermitianEig(uplo, A)
+    sgn = jnp.where(w > 0, 1.0, jnp.where(w < 0, -1.0, 0.0)).astype(w.dtype)
+    S = HermitianFromEVD(uplo, Q, sgn)
+    if not want_n:
+        return S
+    return S, HermitianFromEVD(uplo, Q, jnp.abs(w))
+
+
+def HermitianPseudoinverse(uplo: UpperOrLower, A: DistMatrix,
+                           tol: Optional[float] = None) -> DistMatrix:
+    """Moore-Penrose pseudoinverse of a Hermitian matrix: invert the
+    eigenvalues above the tolerance, zero the rest (reference:
+    funcs/Pseudoinverse.cpp HermitianPseudoinverse; default tolerance
+    n eps max|w|)."""
+    from ..blas.level3 import HermitianFromEVD
+    from .hermitian_eig import HermitianEig
+
+    w, Q = HermitianEig(uplo, A)
+    eps = jnp.finfo(w.dtype).eps
+    cutoff = (A.m * eps * jnp.max(jnp.abs(w))) if tol is None else tol
+    keep = jnp.abs(w) > cutoff
+    inv = jnp.where(keep, 1.0 / jnp.where(keep, w, 1.0), 0.0)
+    return HermitianFromEVD(uplo, Q, inv)
+
+
+def HPSDCholesky(uplo: UpperOrLower, A: DistMatrix) -> DistMatrix:
+    """Cholesky-like factor of a Hermitian positive SEMI-definite
+    matrix (reference: factor/Cholesky.cpp:176 HPSDCholesky):
+    S := sqrt(A), then the triangular factor of S's QR (UPPER:
+    A = S^H S = R^H R) or LQ (LOWER: A = S S^H = L L^H), with the
+    diagonal phase absorbed so the factor diagonal is nonnegative."""
+    from ..core.types import LOWER as _LOW, UPPER as _UP
+    from ..blas.level1 import MakeHermitian, MakeTrapezoidal
+    from .qr import QR
+
+    S = MakeHermitian(uplo, HPSDSquareRoot(uplo, A))
+    if uplo == _UP:
+        R = MakeTrapezoidal(_UP, QR(S).packed)
+        d = jnp.diagonal(R.data)
+        phase = jnp.where(jnp.abs(d) == 0, jnp.ones_like(d),
+                          jnp.conj(d) / jnp.where(jnp.abs(d) == 0, 1,
+                                                  jnp.abs(d)))
+        return R.with_data(R.data * phase[:, None])
+    from ..blas.level1 import Adjoint
+
+    # LOWER: A = L L^H with L = R^H of the UPPER factorization of the
+    # same Hermitian matrix (R^H R = A  =>  L = R^H); symmetrize first
+    # so the UPPER path reads valid data
+    return Adjoint(HPSDCholesky(_UP, MakeHermitian(uplo, A)))

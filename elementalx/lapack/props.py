@@ -286,3 +286,76 @@ def OneConditionEstimate(A: DistMatrix, solve=None, its: int = 5):
         x = np.zeros(n)
         x[j] = 1.0
     return float(OneNorm(A)) * est
+
+
+def _herm_full(uplo: UpperOrLower, A: DistMatrix) -> DistMatrix:
+    from ..blas.level1 import MakeHermitian
+
+    return MakeHermitian(uplo, A.redistribute(MC, MR))
+
+
+def _symm_full(uplo: UpperOrLower, A: DistMatrix) -> DistMatrix:
+    return MakeSymmetric(uplo, A.redistribute(MC, MR))
+
+
+# named Hermitian/Symmetric norm variants (reference: props.hpp declares
+# one per norm; here each is the dispatcher over the symmetrized matrix)
+
+def HermitianFrobeniusNorm(uplo, A):
+    return FrobeniusNorm(_herm_full(uplo, A))
+
+
+def HermitianMaxNorm(uplo, A):
+    return MaxAbs(_herm_full(uplo, A))
+
+
+def HermitianEntrywiseNorm(uplo, A, p: float = 1.0):
+    return EntrywiseNorm(_herm_full(uplo, A), p)
+
+
+def HermitianNuclearNorm(uplo, A):
+    return NuclearNorm(_herm_full(uplo, A))
+
+
+def HermitianSchattenNorm(uplo, A, p: float):
+    return SchattenNorm(_herm_full(uplo, A), p)
+
+
+def HermitianKyFanNorm(uplo, A, k: int):
+    return KyFanNorm(_herm_full(uplo, A), k)
+
+
+def HermitianTwoNorm(uplo, A):
+    return TwoNorm(_herm_full(uplo, A))
+
+
+def HermitianTwoNormEstimate(uplo, A, **kw):
+    return TwoNormEstimate(_herm_full(uplo, A), **kw)
+
+
+def SymmetricFrobeniusNorm(uplo, A):
+    return FrobeniusNorm(_symm_full(uplo, A))
+
+
+def SymmetricEntrywiseNorm(uplo, A, p: float = 1.0):
+    return EntrywiseNorm(_symm_full(uplo, A), p)
+
+
+def SymmetricNuclearNorm(uplo, A):
+    return NuclearNorm(_symm_full(uplo, A))
+
+
+def SymmetricSchattenNorm(uplo, A, p: float):
+    return SchattenNorm(_symm_full(uplo, A), p)
+
+
+def SymmetricKyFanNorm(uplo, A, k: int):
+    return KyFanNorm(_symm_full(uplo, A), k)
+
+
+def SymmetricTwoNorm(uplo, A):
+    return TwoNorm(_symm_full(uplo, A))
+
+
+def SymmetricTwoNormEstimate(uplo, A, **kw):
+    return TwoNormEstimate(_symm_full(uplo, A), **kw)

@@ -189,3 +189,71 @@ def test_new_generators(rng, g):
     E = np.asarray(M.Egorov(lambda i, j: (i * j).astype(jnp.float64),
                             5, grid=g).global_array())
     np.testing.assert_allclose(np.abs(E), np.ones((5, 5)), atol=1e-12)
+
+
+def test_swaps_and_transform2x2(grid):
+    """Swap.cpp RowSwap/ColSwap/SymmetricSwap/HermitianSwap and
+    Transform2x2.cpp Rows/Cols/vector-pair forms."""
+    rng = np.random.default_rng(21)
+    a = rng.standard_normal((9, 7))
+    A = DistMatrix.from_global(a, grid=grid)
+    exp = a.copy()
+    exp[[1, 4]] = exp[[4, 1]]
+    np.testing.assert_allclose(
+        np.asarray(L1.RowSwap(A, 1, 4).global_array()), exp)
+    exp = a.copy()
+    exp[:, [0, 3]] = exp[:, [3, 0]]
+    np.testing.assert_allclose(
+        np.asarray(L1.ColSwap(A, 0, 3).global_array()), exp)
+    s = a[:7, :7] + a[:7, :7].T
+    S = DistMatrix.from_global(np.tril(s), grid=grid)
+    exp = s.copy()
+    exp[[1, 5], :] = exp[[5, 1], :]
+    exp[:, [1, 5]] = exp[:, [5, 1]]
+    np.testing.assert_allclose(
+        np.asarray(L1.SymmetricSwap(LOWER, S, 1, 5).global_array()),
+        np.tril(exp), atol=1e-12)
+    G = np.asarray([[2.0, 1.0], [0.5, -1.0]])
+    out = np.asarray(L1.Transform2x2Rows(G, A, 0, 2).global_array())
+    exp = a.copy()
+    exp[0] = G[0, 0] * a[0] + G[0, 1] * a[2]
+    exp[2] = G[1, 0] * a[0] + G[1, 1] * a[2]
+    np.testing.assert_allclose(out, exp)
+    out = np.asarray(L1.Transform2x2Cols(G, A, 1, 3).global_array())
+    exp = a.copy()
+    exp[:, 1] = G[0, 0] * a[:, 1] + G[0, 1] * a[:, 3]
+    exp[:, 3] = G[1, 0] * a[:, 1] + G[1, 1] * a[:, 3]
+    np.testing.assert_allclose(out, exp)
+    v1 = DistMatrix.from_global(a[:, :1], grid=grid)
+    v2 = DistMatrix.from_global(a[:, 1:2], grid=grid)
+    n1, n2 = L1.Transform2x2(G, v1, v2)
+    np.testing.assert_allclose(
+        np.asarray(n1.global_array())[:, 0],
+        G[0, 0] * a[:, 0] + G[0, 1] * a[:, 1])
+    np.testing.assert_allclose(
+        np.asarray(n2.global_array())[:, 0],
+        G[1, 0] * a[:, 0] + G[1, 1] * a[:, 1])
+
+
+def test_minabs_and_norm_vectors(grid):
+    """ColumnMinAbs(.Nonzero)/RowMinAbs/RowMaxNorms/TwoNorms aliases +
+    RealToComplex."""
+    rng = np.random.default_rng(22)
+    a = rng.standard_normal((9, 7))
+    a[:, 2] = 0.0
+    A = DistMatrix.from_global(a, grid=grid)
+    np.testing.assert_allclose(np.asarray(L1.ColumnMinAbs(A))[:7],
+                               np.abs(a).min(axis=0))
+    expn = [np.min(np.abs(a[:, j])[a[:, j] != 0])
+            if np.any(a[:, j] != 0) else 0.0 for j in range(7)]
+    np.testing.assert_allclose(np.asarray(L1.ColumnMinAbsNonzero(A))[:7],
+                               expn)
+    np.testing.assert_allclose(np.asarray(L1.RowMinAbs(A))[:9],
+                               np.abs(a).min(axis=1))
+    np.testing.assert_allclose(np.asarray(L1.RowMaxNorms(A))[:9],
+                               np.abs(a).max(axis=1))
+    np.testing.assert_allclose(np.asarray(L1.ColumnTwoNorms(A))[:7],
+                               np.linalg.norm(a, axis=0), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(L1.RowTwoNorms(A))[:9],
+                               np.linalg.norm(a, axis=1), rtol=1e-12)
+    assert L1.RealToComplex(A).dtype == jnp.complex128

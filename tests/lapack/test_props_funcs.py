@@ -178,3 +178,55 @@ def test_norm_dispatcher(grid):
                - np.abs(s).max()) < 1e-10
     with pytest.raises(ValueError):
         Norm(A, "bogus")
+
+
+def test_hermitian_norm_variants(grid):
+    """props.hpp named Hermitian/Symmetric norm family."""
+    import numpy.linalg as la
+    L = El.lapack
+    rng = np.random.default_rng(31)
+    n = 16
+    a = rng.standard_normal((n, n))
+    s = a + a.T
+    S = DistMatrix.from_global(np.tril(s), grid=grid)
+    w = la.eigvalsh(s)
+    assert abs(float(L.HermitianFrobeniusNorm(LOWER, S))
+               - la.norm(s)) < 1e-10
+    assert abs(float(L.HermitianMaxNorm(LOWER, S))
+               - np.abs(s).max()) < 1e-12
+    assert abs(float(L.HermitianTwoNorm(LOWER, S)) - la.norm(s, 2)) < 1e-8
+    assert abs(float(L.HermitianNuclearNorm(LOWER, S))
+               - np.abs(w).sum()) < 1e-7
+    assert abs(float(L.SymmetricKyFanNorm(LOWER, S, 3))
+               - np.sort(np.abs(w))[::-1][:3].sum()) < 1e-8
+    assert abs(float(L.SymmetricFrobeniusNorm(LOWER, S))
+               - la.norm(s)) < 1e-10
+
+
+def test_hermitian_sign_pinv_hpsd_cholesky(grid):
+    """funcs.cpp HermitianSign / HermitianPseudoinverse and
+    factor/Cholesky.cpp HPSDCholesky on a rank-deficient PSD matrix."""
+    import numpy.linalg as la
+    L = El.lapack
+    rng = np.random.default_rng(33)
+    n = 16
+    a = rng.standard_normal((n, n))
+    s = a + a.T
+    S = DistMatrix.from_global(np.tril(s), grid=grid)
+    V, W = la.eigh(s)
+    sg = np.asarray(L.HermitianSign(LOWER, S).global_array())
+    assert la.norm(np.tril(sg) - np.tril((W * np.sign(V)) @ W.T)) < 1e-9
+    _, N = L.HermitianSign(LOWER, S, want_n=True)
+    assert la.norm(np.tril(np.asarray(N.global_array()))
+                   - np.tril((W * np.abs(V)) @ W.T)) < 1e-9
+    b = rng.standard_normal((n, 5))
+    psd = b @ b.T  # rank 5
+    P = DistMatrix.from_global(np.tril(psd), grid=grid)
+    pin = np.asarray(L.HermitianPseudoinverse(LOWER, P).global_array())
+    assert la.norm(np.tril(pin) - np.tril(la.pinv(psd))) < 1e-8
+    for uplo, make in [(UPPER, np.triu), (LOWER, np.tril)]:
+        F = np.asarray(L.HPSDCholesky(
+            uplo, DistMatrix.from_global(make(psd), grid=grid)
+        ).global_array())
+        rec = F.T @ F if uplo == UPPER else F @ F.T
+        assert la.norm(rec - psd) / la.norm(psd) < 1e-10
