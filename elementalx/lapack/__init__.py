@@ -100,7 +100,9 @@ from .solve import (  # noqa: F401
     SymmetricSolve,
 )
 from . import equilibrate  # noqa: F401
-from .equilibrate import GeomEquil, RuizEquil, SymmetricRuizEquil  # noqa: F401
+from .equilibrate import (GeomEquil, RuizEquil,  # noqa: F401
+                          SymmetricRuizEquil, SymmetricGeomEquil,
+                          SymmetricDiagonalEquil)
 from . import util  # noqa: F401
 from .util import Median, Sort, SortColumns, TaggedSort  # noqa: F401
 from . import id_skeleton  # noqa: F401

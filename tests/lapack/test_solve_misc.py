@@ -170,3 +170,27 @@ def test_id_skeleton(grid, rng):
     C = a[:, np.asarray(PC.perm)[:r]]
     R = a[np.asarray(PR.perm)[:r], :]
     np.testing.assert_allclose(C @ G.global_array() @ R, a, atol=1e-7)
+
+
+def test_symmetric_equilibration_variants(grid, rng):
+    """equilibrate/SymmetricGeomEquil.cpp + SymmetricDiagonalEquil.cpp:
+    symmetric reconstruction identity and conditioning improvement."""
+    from elementalx.lapack import (SymmetricDiagonalEquil,
+                                   SymmetricGeomEquil)
+
+    n = 24
+    s = rng.standard_normal((n, n))
+    s = s + s.T
+    sc = np.exp(rng.standard_normal((n, 1)) * 3)
+    s = s * sc * sc.T  # symmetric ill-scaling
+    S = DistMatrix.from_global(s, grid=grid)
+    out, d = SymmetricGeomEquil(S)
+    o = np.asarray(out.global_array())
+    dn = np.asarray(d)[:n]
+    np.testing.assert_allclose(dn[:, None] * o * dn[None, :], s,
+                               rtol=1e-10)
+    r0 = np.abs(s).max() / np.abs(s[s != 0]).min()
+    r1 = np.abs(o).max() / np.abs(o[np.abs(o) > 0]).min()
+    assert r1 < r0
+    A2, d2 = SymmetricDiagonalEquil(S)
+    np.testing.assert_allclose(np.asarray(d2)[:n], 1.0)
