@@ -5,6 +5,7 @@ from .level1 import *  # noqa: F401,F403
 from .gemm import Gemm, local_gemm, set_local_precision  # noqa: F401
 from .trsm import Trsm, Trsv  # noqa: F401
 from .level2 import (  # noqa: F401
+    ApplyGivensSequence,
     Gemv,
     Ger,
     Geru,
@@ -14,6 +15,9 @@ from .level2 import (  # noqa: F401
     Symv,
     Syr,
     Syr2,
+    Trmv,
+    Trr,
+    Trr2,
 )
 from .level3 import (  # noqa: F401
     Hemm,

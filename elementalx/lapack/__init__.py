@@ -104,7 +104,8 @@ from .equilibrate import (GeomEquil, RuizEquil,  # noqa: F401
                           SymmetricRuizEquil, SymmetricGeomEquil,
                           SymmetricDiagonalEquil)
 from . import util  # noqa: F401
-from .util import Median, Sort, SortColumns, TaggedSort  # noqa: F401
+from .util import (Median, Sort, SortColumns,  # noqa: F401
+                   SortingPermutation, TaggedSort)
 from . import id_skeleton  # noqa: F401
 from .id_skeleton import ID, Skeleton  # noqa: F401
 from . import schur  # noqa: F401

@@ -47,3 +47,15 @@ def Median(x: jax.Array, n: int = 0) -> jax.Array:
     if n and n != x.shape[0]:
         x = x[:n]
     return jnp.median(x)
+
+
+def SortingPermutation(x: jax.Array, sort: SortType = ASCENDING):
+    """Permutation that sorts ``x`` (reference: util/Sort.cpp
+    SortingPermutation — TaggedSort's index tags as a Permutation)."""
+    from .perm import Permutation
+
+    idx = jnp.argsort(jnp.asarray(x).ravel(), stable=True)
+    if sort == DESCENDING:
+        idx = idx[::-1]
+    n = idx.shape[0]
+    return Permutation(idx.astype(jnp.int32), n)
