@@ -34,7 +34,7 @@ from .hermitian_eig import (  # noqa: F401
 from . import polar  # noqa: F401
 from .polar import HermitianPolar, Polar  # noqa: F401
 from . import svd  # noqa: F401
-from .svd import SVD, HermitianSVD, SingularValues  # noqa: F401
+from .svd import SVD, BidiagSVD, HermitianSVD, SingularValues  # noqa: F401
 from . import props  # noqa: F401
 from .props import (  # noqa: F401
     Condition,
@@ -132,6 +132,9 @@ from .pseudospectra import (Pseudospectra, TriangularPseudospectra,  # noqa: F40
                             HessenbergSpectralPortrait,
                             HessenbergSpectralWindow,
                             HessenbergSpectralCloud)
+from . import lanczos  # noqa: F401
+from .lanczos import (Lanczos, LanczosDecomp,  # noqa: F401
+                      ProductLanczos, ProductLanczosDecomp)
 from . import secular  # noqa: F401
 from .secular import CubicSecular, SecularEVD, SecularSVD  # noqa: F401
 from . import gqr  # noqa: F401

@@ -150,3 +150,44 @@ def _gkl_svd(A: DistMatrix, solver: str = "bisect"):
     Vdm = DistMatrix.from_padded(V, n, n, MC, MR, A.grid, A.wrap)
     Vdm = Vdm.with_data(Vdm.mask_padding(Vdm.data))
     return Udm, s, Vdm
+
+
+def BidiagSVD(uplo, d: jax.Array, e: jax.Array, vectors: bool = False,
+              solver: str = "bisect"):
+    """SVD of a bidiagonal matrix given its main and off diagonal
+    (reference: spectral.hpp:1151 BidiagSVD, spectral/BidiagSVD.cpp).
+    ``uplo`` selects upper or lower bidiagonal; returns ``s``
+    (descending) or ``(U, s, V)`` with B = U diag(s) V^H. Solved by the
+    Golub-Kahan tridiagonal embedding ([0 B; B^H 0] permuted to a
+    zero-diagonal tridiagonal whose eigenpairs are the +/-sigma pairs),
+    through the batched bisection eigensolver or, with ``solver='dc'``,
+    the device divide-and-conquer."""
+    from ..core.types import UPPER as _UP
+
+    if solver == "dc":
+        from .tridiag_dc_device import tridiag_eig_dc_device as _teig
+    else:
+        from .tridiag_eig import tridiag_eig as _teig
+
+    d = jnp.asarray(d)
+    e = jnp.asarray(e)
+    n = d.shape[0]
+    if n == 0:
+        z = jnp.zeros((0,), d.dtype)
+        return z if not vectors else (jnp.zeros((0, 0), d.dtype), z,
+                                      jnp.zeros((0, 0), d.dtype))
+    offdiag = jnp.zeros((2 * n - 1,), d.dtype)
+    offdiag = offdiag.at[0::2].set(d)
+    if n > 1:
+        offdiag = offdiag.at[1::2].set(e[: n - 1])
+    w, Z = _teig(jnp.zeros((2 * n,), d.dtype), offdiag)
+    s = w[::-1][:n]
+    if not vectors:
+        return s
+    Zs = Z[:, ::-1][:, :n]
+    V = Zs[0::2, :] * jnp.sqrt(2.0)
+    U = Zs[1::2, :] * jnp.sqrt(2.0)
+    if uplo == _UP:
+        return U, s, V
+    # lower bidiagonal B = (upper bidiagonal of B^H)^H: swap U and V
+    return V, s, U
