@@ -728,3 +728,49 @@ def UniformHelmholtzGreens(n, lam, grid=None, dtype=jnp.complex128,
         return jnp.where(i == j, jnp.zeros_like(val), val).astype(dtype)
 
     return _fill(n, n, f, grid, dtype)
+
+
+def EhrenfestStationary(n, grid=None, dtype=jnp.float64):
+    """Stationary distribution of the Ehrenfest urn, replicated into
+    every row: PInf[i, j] = C(n-1, j) / 2^(n-1)
+    (reference: misc/Ehrenfest.cpp:55 EhrenfestStationary)."""
+    from jax.scipy.special import gammaln
+
+    j = jnp.arange(n, dtype=jnp.float64)
+    logbin = (gammaln(float(n)) - gammaln(j + 1.0)
+              - gammaln(float(n) - j))
+    row = jnp.exp(logbin - (n - 1) * jnp.log(2.0))
+    a = jnp.broadcast_to(row[None, :], (n, n))
+    return DistMatrix.from_global(a.astype(dtype), grid=grid)
+
+
+def EhrenfestDecay(n, grid=None, dtype=jnp.float64):
+    """Ehrenfest transition matrix minus its stationary limit
+    (reference: misc/Ehrenfest.cpp:101 EhrenfestDecay)."""
+    A = Ehrenfest(n, grid, dtype)
+    P = EhrenfestStationary(n, grid, dtype)
+    return A.with_data(A.data - P.redistribute(*A.dist).data)
+
+
+def RiffleStationary(n, grid=None, dtype=jnp.float64):
+    """Stationary distribution of the riffle shuffle, replicated into
+    every row (reference: misc/Riffle.cpp:68 RiffleStationary —
+    the Eulerian-number recurrence, quadratic host time as upstream)."""
+    sigma = np.zeros(n)
+    tmp = np.zeros(n)
+    sigma[0] = tmp[0] = 1.0
+    for j in range(1, n):
+        tmp[0] = sigma[0]
+        for k in range(1, j + 1):
+            tmp[k] = (k + 1) * sigma[k] + (j - k + 1) * sigma[k - 1]
+        sigma[:] = tmp / (j + 1)
+    a = np.broadcast_to(sigma[None, :], (n, n))
+    return DistMatrix.from_global(jnp.asarray(a, dtype), grid=grid)
+
+
+def RiffleDecay(n, grid=None, dtype=jnp.float64):
+    """Riffle transition matrix minus its stationary limit
+    (reference: misc/Riffle.cpp:132 RiffleDecay)."""
+    A = Riffle(n, grid, dtype)
+    P = RiffleStationary(n, grid, dtype)
+    return A.with_data(A.data - P.redistribute(*A.dist).data)

@@ -200,3 +200,27 @@ def test_lattice_bases(grid):
     assert np.allclose(b[:5], np.eye(5))
     assert np.all(np.abs(b[5]) <= 50.0)
     assert np.allclose(b[5], np.round(b[5]))
+
+
+
+def test_markov_chain_generators(grid):
+    """misc/Ehrenfest.cpp + misc/Riffle.cpp: the Stationary generators
+    are exact left fixed points of the transition matrices; Decay =
+    transition - stationary."""
+    from elementalx import matrices as M
+
+    n = 10
+    P = np.asarray(M.Ehrenfest(n, grid=grid).global_array())
+    S = np.asarray(M.EhrenfestStationary(n, grid=grid).global_array())
+    np.testing.assert_allclose(S.sum(axis=1), 1.0, rtol=1e-13)
+    np.testing.assert_allclose(S[0] @ P, S[0], atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(M.EhrenfestDecay(n, grid=grid).global_array()), P - S,
+        atol=1e-13)
+    Pr = np.asarray(M.Riffle(n, grid=grid).global_array())
+    Sr = np.asarray(M.RiffleStationary(n, grid=grid).global_array())
+    np.testing.assert_allclose(Sr.sum(axis=1), 1.0, rtol=1e-13)
+    np.testing.assert_allclose(Sr[0] @ Pr, Sr[0], atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(M.RiffleDecay(n, grid=grid).global_array()), Pr - Sr,
+        atol=1e-13)
