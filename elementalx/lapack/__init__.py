@@ -119,6 +119,7 @@ from .schur import (  # noqa: F401
     TriangEig,
 )
 from . import schur_real  # noqa: F401
+from .schur_real import CheckRealSchur, SchurRealToComplex  # noqa: F401
 from . import pseudospectra  # noqa: F401
 from .pseudospectra import (Pseudospectra, TriangularPseudospectra,  # noqa: F401
                             OneNormPseudospectra,

@@ -58,6 +58,12 @@ def _standardize2x2_np(T: np.ndarray, Z: Optional[np.ndarray], k: int,
     c, d = T[k + 1, k], T[k + 1, k + 1]
     if 0.25 * (a - d) ** 2 + b * c >= 0.0 or c == 0.0 or b == 0.0:
         T[k + 1, k] = 0.0
+    else:
+        # complex pair: the rotation leaves the diagonals equal only to
+        # rounding; pin both to the mean as dlanv2 does (the standard
+        # form CheckRealSchur verifies EXACTLY)
+        mean = 0.5 * (a + d)
+        T[k, k] = T[k + 1, k + 1] = mean
 
 
 def block_starts(T: np.ndarray, lo: int = 0, hi: Optional[int] = None
@@ -580,3 +586,91 @@ def hessenberg_qr_real_host(H: np.ndarray, want_vecs: bool,
         T[i, :max(i - 1, 0)][np.abs(T[i, :max(i - 1, 0)]) > 0] = 0.0
     # zero any subdiagonal that is not part of a 2x2 block pattern
     return T, Z
+
+
+def CheckRealSchur(U, standard_form: bool = False) -> None:
+    """Validate a real quasi-triangular Schur form (reference:
+    spectral/Schur/CheckReal.hpp): no adjacent nonzero subdiagonals;
+    with ``standard_form``, each 2x2 block must have a constant
+    diagonal and b*c < 0. Raises ValueError on violation (eager)."""
+    Uh = np.asarray(U.global_array() if hasattr(U, "global_array") else U)
+    if np.iscomplexobj(Uh):
+        raise ValueError("CheckRealSchur called for complex matrix")
+    n = Uh.shape[0]
+    main = np.diagonal(Uh)
+    sub = np.diagonal(Uh, -1)
+    if standard_form and n > 1:
+        sup = np.diagonal(Uh, 1)
+        for j in range(n - 1):
+            if sub[j] != 0 and main[j] != main[j + 1]:
+                raise ValueError(
+                    f"diagonal of 2x2 block not constant at j={j}")
+            if sub[j] != 0 and sub[j] * sup[j] >= 0:
+                raise ValueError(f"b*c >= 0 at j={j}")
+    for j in range(n - 2):
+        if sub[j] != 0 and sub[j + 1] != 0:
+            raise ValueError(f"adjacent nonzero subdiagonals at j={j}")
+
+
+def SchurRealToComplex(Tq, Zq=None):
+    """Convert a real (standardized) quasi-triangular Schur form to the
+    complex triangular form (reference: spectral/Schur/RealToComplex.hpp
+    schur::RealToComplex), optionally rotating the Schur vectors too.
+
+    Each standardized 2x2 block [[a, b], [c, a]] (bc < 0) is upper-
+    triangularized by the analytic unitary V = [[b, i mu], [i mu, b]]/s
+    with mu = sqrt(-bc), s = sqrt(b^2 + mu^2) — applied as one masked
+    two-column and two-row transform per step of a fixed-trip fori_loop
+    (identity where the subdiagonal is zero). Accepts DistMatrix or
+    array; returns the same kind."""
+    import jax
+    import jax.numpy as jnp
+
+    is_dm = hasattr(Tq, "global_array")
+    if is_dm:
+        from ..core.dmatrix import DistMatrix as _DM
+
+        grid, wrap, m = Tq.grid, Tq.wrap, Tq.m
+        # the sweep is a sequential small-block chain: run it on the
+        # REPLICATED view (a sharded operand also tripped an XLA:CPU
+        # SPMD miscompile of the dynamic col/row updates — wrong values,
+        # not just wrong layout); the result is re-sharded on exit
+        Td = Tq.replicated()
+        Zd = Zq.replicated() if Zq is not None else None
+    else:
+        Td = jnp.asarray(Tq)
+        Zd = jnp.asarray(Zq) if Zq is not None else None
+        m = Td.shape[0]
+    cdt = jnp.complex64 if Td.dtype == jnp.float32 else jnp.complex128
+    T = Td.astype(cdt)
+    Z = Zd.astype(cdt) if Zd is not None else None
+    M = T.shape[0]
+
+    def body(j, carry):
+        T, Z = carry
+        b = T[j, j + 1]
+        c = T[j + 1, j]
+        active = jnp.real(c) != 0
+        mu = jnp.sqrt(jnp.maximum(-jnp.real(b) * jnp.real(c), 0.0))
+        s = jnp.sqrt(jnp.real(b) ** 2 + mu ** 2)
+        s = jnp.where(s == 0, 1.0, s)
+        V = (jnp.asarray([[1, 0], [0, 1]], cdt) * jnp.real(b)
+             + jnp.asarray([[0, 1], [1, 0]], cdt) * (1j * mu)) / s
+        V = jnp.where(active, V, jnp.eye(2, dtype=cdt))
+        cols = jax.lax.dynamic_slice(T, (0, j), (M, 2))
+        T = jax.lax.dynamic_update_slice(T, cols @ V, (0, j))
+        rows = jax.lax.dynamic_slice(T, (j, 0), (2, M))
+        T = jax.lax.dynamic_update_slice(T, jnp.conj(V.T) @ rows, (j, 0))
+        T = T.at[j + 1, j].set(jnp.zeros((), cdt))
+        if Z is not None:
+            zc = jax.lax.dynamic_slice(Z, (0, j), (M, 2))
+            Z = jax.lax.dynamic_update_slice(Z, zc @ V, (0, j))
+        return T, Z
+
+    T, Z = jax.lax.fori_loop(0, max(m - 1, 0), body, (T, Z))
+    if is_dm:
+        Tdm = _DM.from_padded(T, Tq.m, Tq.n, *Tq.dist, grid, wrap)
+        if Zq is None:
+            return Tdm
+        return Tdm, _DM.from_padded(Z, Zq.m, Zq.n, *Zq.dist, grid, wrap)
+    return T if Zq is None else (T, Z)

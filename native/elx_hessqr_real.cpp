@@ -64,6 +64,11 @@ void standardize2x2(double& a, double& b, double& c, double& d,
         c = 0.0;
         w1r = a; w1i = 0.0; w2r = d; w2i = 0.0;
     } else {
+        // complex pair: pin both diagonals to the mean EXACTLY (the
+        // rotation equalizes them only to roundoff; dlanv2's standard
+        // form has a == d exactly and CheckRealSchur verifies that)
+        const double mean = 0.5 * (a + d);
+        a = d = mean;
         const double q = std::sqrt(-b * c);
         w1r = a; w1i = q; w2r = a; w2i = -q;
     }

@@ -352,3 +352,30 @@ def test_spectral_driver_family(grid, rng):
     pw = SpectralWindow(A, 0.5 + 0.0j, 2.0, 2.0, real_size=5, imag_size=5,
                         iters=10)
     assert np.asarray(pw.inv_norm_map).shape == (5, 5)
+
+
+def test_check_real_schur_and_real_to_complex(grid, rng):
+    """schur::CheckRealSchur + schur::RealToComplex (Schur/CheckReal.hpp
+    + Schur/RealToComplex.hpp): standard-form validation passes on our
+    real Schur output, and the analytic 2x2 unitaries produce a complex
+    triangular factor preserving the similarity."""
+    from elementalx.lapack.schur_real import (CheckRealSchur,
+                                              SchurRealToComplex)
+
+    n = 24
+    a = rng.standard_normal((n, n))
+    dec = Schur(DistMatrix.from_global(a, grid=grid))
+    CheckRealSchur(dec.T, standard_form=True)  # must not raise
+    T, Z = SchurRealToComplex(dec.T, dec.Z)
+    Th = np.asarray(T.global_array())
+    Zh = np.asarray(Z.global_array())
+    assert np.abs(np.tril(Th, -1)).max() < 1e-10
+    rec = Zh @ Th @ Zh.conj().T
+    assert np.linalg.norm(rec - a) / np.linalg.norm(a) < 1e-10
+    assert np.linalg.norm(Zh.conj().T @ Zh - np.eye(n)) < 1e-10
+    w = np.sort_complex(np.linalg.eigvals(a))
+    assert np.allclose(w, np.sort_complex(np.diagonal(Th)), atol=1e-7)
+    bad = np.triu(np.ones((5, 5)))
+    bad[1, 0] = bad[2, 1] = 1.0
+    with pytest.raises(ValueError):
+        CheckRealSchur(bad)
