@@ -44,6 +44,9 @@ from .props import (  # noqa: F401
     HPDDeterminant,
     InfinityNorm,
     KyFanNorm,
+    KyFanSchattenNorm,
+    HermitianKyFanSchattenNorm,
+    SymmetricKyFanSchattenNorm,
     HermitianNorm,
     MaxNorm,
     Norm,

@@ -359,3 +359,20 @@ def SymmetricTwoNorm(uplo, A):
 
 def SymmetricTwoNormEstimate(uplo, A, **kw):
     return TwoNormEstimate(_symm_full(uplo, A), **kw)
+
+
+def KyFanSchattenNorm(A: DistMatrix, k: int, p: float) -> jax.Array:
+    """(sum of the k largest singular values^p)^(1/p) (reference:
+    props.hpp KyFanSchattenNorm — the Ky-Fan/Schatten hybrid)."""
+    from .svd import SingularValues
+
+    s = SingularValues(A)
+    return jnp.sum(s[:k] ** p) ** (1.0 / p)
+
+
+def HermitianKyFanSchattenNorm(uplo, A, k: int, p: float):
+    return KyFanSchattenNorm(_herm_full(uplo, A), k, p)
+
+
+def SymmetricKyFanSchattenNorm(uplo, A, k: int, p: float):
+    return KyFanSchattenNorm(_symm_full(uplo, A), k, p)
