@@ -28,14 +28,16 @@ from .grid import Grid
 from .types import BLOCK, Dist, MC, MR
 
 
-def block_cyclic_perm(n_padded: int, nb: int, p: int) -> np.ndarray:
+def block_cyclic_perm(n_padded: int, nb: int, p: int,
+                      cut: int = 0) -> np.ndarray:
     """Permutation pi with pi[k] = global index stored at position k when
     cyclic blocks of size nb over p processes are made owner-contiguous.
-    Ownership: index i belongs to process (i // nb) %% p (ScaLAPACK)."""
+    Ownership: index i belongs to process ((i + cut) // nb) %% p — the
+    reference's colCut/rowCut shift the start of the first (partial)
+    block (Block.hpp:20-218)."""
     idx = np.arange(n_padded)
-    owner = (idx // nb) % p
-    local = (idx // (nb * p)) * nb + idx % nb
-    order = np.lexsort((local, owner))
+    owner = ((idx + cut) // nb) % p
+    order = np.lexsort((idx, owner))
     return order
 
 
@@ -48,7 +50,7 @@ class BlockMatrix:
 
     def __init__(self, dm: DistMatrix, row_perm: np.ndarray,
                  col_perm: np.ndarray, bh: int, bw: int,
-                 m: int, n: int):
+                 m: int, n: int, row_cut: int = 0, col_cut: int = 0):
         self.dm = dm
         self.row_perm = row_perm
         self.col_perm = col_perm
@@ -56,19 +58,27 @@ class BlockMatrix:
         self.block_width = bw
         self.m = m
         self.n = n
+        self.row_cut = row_cut
+        self.col_cut = col_cut
 
     @staticmethod
-    def from_element(A: DistMatrix, bh: int = 32, bw: int = 32
+    def from_element(A: DistMatrix, bh: int = 32, bw: int = 32,
+                     row_cut: int = 0, col_cut: int = 0
                      ) -> "BlockMatrix":
         """ELEMENT -> BLOCK redistribution (reference: the
-        ElementMatrix <-> BlockMatrix operator= pairs)."""
+        ElementMatrix <-> BlockMatrix operator= pairs). ``row_cut`` /
+        ``col_cut`` (0 <= cut < block size) make the leading block
+        partial, as the reference's cut parameters do."""
+        if not (0 <= row_cut < bh and 0 <= col_cut < bw):
+            raise ValueError("cuts must lie in [0, blocksize)")
         g = A.grid
         P, Q = A.data.shape
-        rp = block_cyclic_perm(P, bh, g.height)
-        cp = block_cyclic_perm(Q, bw, g.width)
+        rp = block_cyclic_perm(P, bh, g.height, row_cut)
+        cp = block_cyclic_perm(Q, bw, g.width, col_cut)
         data = A.data[jnp.asarray(rp), :][:, jnp.asarray(cp)]
         dm = DistMatrix.from_padded(data, A.m, A.n, MC, MR, g, BLOCK)
-        return BlockMatrix(dm, rp, cp, bh, bw, A.m, A.n)
+        return BlockMatrix(dm, rp, cp, bh, bw, A.m, A.n, row_cut,
+                           col_cut)
 
     def to_element(self) -> DistMatrix:
         """BLOCK -> ELEMENT."""
@@ -85,8 +95,8 @@ class BlockMatrix:
         """(process row, process col) owning logical element (i, j) —
         matches ScaLAPACK's indxg2p."""
         g = self.dm.grid
-        return ((i // self.block_height) % g.height,
-                (j // self.block_width) % g.width)
+        return (((i + self.row_cut) // self.block_height) % g.height,
+                ((j + self.col_cut) // self.block_width) % g.width)
 
     def descriptor(self) -> np.ndarray:
         """ScaLAPACK descriptor array (reference: FillDesc,
@@ -115,8 +125,9 @@ def BlockGemm(alpha, A: BlockMatrix, B: BlockMatrix,
     (Pr A Pc^T)(Pc B Pc'^T) = Pr (A B) Pc'^T — so the product runs
     DIRECTLY on the permuted shards with ZERO extra data movement, and
     the result is C block-wrapped with A's row / B's column layout.
-    Mismatched inner layouts re-wrap B's rows first (one gather).
-    Cuts (colCut/rowCut) are out of scope by design (PARITY §2.1)."""
+    Mismatched inner layouts re-wrap B's rows first (one gather); cuts
+    participate through the owner permutations (equal layouts = equal
+    block size AND equal cut)."""
     from ..blas.gemm import Gemm
     from .types import NORMAL
 
@@ -128,10 +139,11 @@ def BlockGemm(alpha, A: BlockMatrix, B: BlockMatrix,
         dm = DistMatrix.from_padded(prod.data, A.m, B.n, MC, MR,
                                     A.dm.grid, BLOCK)
         return BlockMatrix(dm, A.row_perm, B.col_perm, A.block_height,
-                           B.block_width, A.m, B.n)
+                           B.block_width, A.m, B.n, A.row_cut, B.col_cut)
     C = Gemm(NORMAL, NORMAL, alpha, A.to_element(), B.to_element())
     return BlockMatrix.from_element(C, bh or A.block_height,
-                                    bw or B.block_width)
+                                    bw or B.block_width,
+                                    A.row_cut, B.col_cut)
 
 
 def BlockCholesky(uplo, A: BlockMatrix) -> BlockMatrix:
@@ -144,7 +156,8 @@ def BlockCholesky(uplo, A: BlockMatrix) -> BlockMatrix:
     from ..lapack.cholesky import Cholesky
 
     L = Cholesky(uplo, A.to_element())
-    return BlockMatrix.from_element(L, A.block_height, A.block_width)
+    return BlockMatrix.from_element(L, A.block_height, A.block_width,
+                                    A.row_cut, A.col_cut)
 
 
 def BlockTrsm(side, uplo, orientation, diag, alpha, A: BlockMatrix,
@@ -156,4 +169,5 @@ def BlockTrsm(side, uplo, orientation, diag, alpha, A: BlockMatrix,
 
     X = Trsm(side, uplo, orientation, diag, alpha, A.to_element(),
              B.to_element())
-    return BlockMatrix.from_element(X, B.block_height, B.block_width)
+    return BlockMatrix.from_element(X, B.block_height, B.block_width,
+                                    B.row_cut, B.col_cut)
