@@ -114,6 +114,8 @@ from .id_skeleton import ID, Skeleton  # noqa: F401
 from . import schur  # noqa: F401
 from .schur import (  # noqa: F401
     Eig,
+    HessenbergEig,
+    HessenbergSchur,
     QuasiSchurDecomposition,
     QuasiTriangEig,
     ReorderSchur,

@@ -900,3 +900,48 @@ def ReorderSchur(dec, select):
     Zdm = None if Z is None else DistMatrix.from_global(
         jnp.asarray(Z), MC, MR, dec.T.grid)
     return SchurDecomposition(Tdm, Zdm, jnp.diagonal(jnp.asarray(T)))
+
+
+def HessenbergSchur(H: DistMatrix, want_vecs: bool = True,
+                    form: str = "auto"):
+    """Schur form of an ALREADY upper-Hessenberg matrix (reference:
+    spectral/HessenbergSchur.hpp public entry): skips the condensation
+    and runs the (real or complex) QR iteration directly; Z is the QR
+    iteration's accumulated transform (H = Z T Z^H)."""
+    n = H.m
+    real_input = not jnp.iscomplexobj(H.data)
+    if form == "auto":
+        form = "real" if real_input else "complex"
+    Hd = np.asarray(jax.device_get(H.replicated()))[:n, :n]
+    if form == "real":
+        if not real_input:
+            raise ValueError("form='real' requires a real matrix")
+        from .schur_real import hessenberg_qr_real_host, quasi_eigvals
+
+        T, Zh = hessenberg_qr_real_host(
+            np.triu(Hd.astype(np.float64), -1), want_vecs)
+        wr, wi = quasi_eigvals(T)
+        np_dt = np.float64 if H.dtype == jnp.float64 else np.float32
+        Tdm = DistMatrix.from_global(jnp.asarray(T.astype(np_dt)), MC, MR,
+                                     H.grid)
+        Zdm = None if not want_vecs else DistMatrix.from_global(
+            jnp.asarray(Zh.astype(np_dt)), MC, MR, H.grid)
+        return QuasiSchurDecomposition(Tdm, Zdm, jnp.asarray(wr),
+                                       jnp.asarray(wi))
+    T, Zh = _hessenberg_qr_host(np.triu(Hd, -1).astype(np.complex128),
+                                want_vecs)
+    np_dt = np.complex128 if H.dtype in (jnp.float64, jnp.complex128) \
+        else np.complex64
+    Tdm = DistMatrix.from_global(jnp.asarray(T.astype(np_dt)), MC, MR,
+                                 H.grid)
+    w = jnp.asarray(np.diag(T).astype(np_dt))
+    Zdm = None if not want_vecs else DistMatrix.from_global(
+        jnp.asarray(Zh.astype(np_dt)), MC, MR, H.grid)
+    return SchurDecomposition(Tdm, Zdm, w)
+
+
+def HessenbergEig(H: DistMatrix, form: str = "auto") -> jax.Array:
+    """Eigenvalues of an upper-Hessenberg matrix (reference:
+    spectral.hpp HessenbergEig)."""
+    dec = HessenbergSchur(H, want_vecs=False, form=form)
+    return jnp.asarray(dec.w)

@@ -379,3 +379,25 @@ def test_check_real_schur_and_real_to_complex(grid, rng):
     bad[1, 0] = bad[2, 1] = 1.0
     with pytest.raises(ValueError):
         CheckRealSchur(bad)
+
+
+def test_hessenberg_schur_public_entry(grid, rng):
+    """spectral/HessenbergSchur.hpp public entry: already-Hessenberg
+    input, real quasi and complex forms."""
+    from elementalx.lapack import HessenbergEig, HessenbergSchur
+
+    n = 20
+    h = np.triu(rng.standard_normal((n, n)), -1)
+    H = DistMatrix.from_global(h, grid=grid)
+    dec = HessenbergSchur(H)
+    T = np.asarray(dec.T.global_array())
+    Z = np.asarray(dec.Z.global_array())
+    assert np.linalg.norm(Z @ T @ Z.T - h) / np.linalg.norm(h) < 1e-10
+    w = np.sort_complex(np.asarray(HessenbergEig(H)))
+    assert np.allclose(w, np.sort_complex(np.linalg.eigvals(h)),
+                       atol=1e-8)
+    decc = HessenbergSchur(H, form="complex")
+    Tc = np.asarray(decc.T.global_array())
+    Zc = np.asarray(decc.Z.global_array())
+    assert np.linalg.norm(Zc @ Tc @ Zc.conj().T - h) \
+        / np.linalg.norm(h) < 1e-10
