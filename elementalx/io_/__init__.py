@@ -174,6 +174,49 @@ def _read_matrix_market(path: str) -> np.ndarray:
         return A
 
 
+# -- colormap state (reference: src/io/ColorMap.cpp + Qt5 display config;
+#    matplotlib-backed here) ---------------------------------------------
+
+_COLOR_MAP = "viridis"
+_NUM_DISCRETE_COLORS = 15
+
+
+def SetColorMap(name: str) -> None:
+    """Select the Display colormap (reference: io.hpp SetColorMap; any
+    matplotlib colormap name)."""
+    global _COLOR_MAP
+    _COLOR_MAP = str(name)
+
+
+def ColorMap() -> str:
+    return _COLOR_MAP
+
+
+def SetNumDiscreteColors(k: int) -> None:
+    """Number of discretization chunks for discrete colormaps
+    (reference: io.hpp SetNumDiscreteColors / ColorMap.cpp:18)."""
+    global _NUM_DISCRETE_COLORS
+    _NUM_DISCRETE_COLORS = int(k)
+
+
+def NumDiscreteColors() -> int:
+    return _NUM_DISCRETE_COLORS
+
+
+def ProcessEvents(num_msecs: int = 0) -> None:
+    """Pump GUI events (reference: io.hpp ProcessEvents — a Qt event
+    loop tick). With matplotlib's interactive backends this is
+    plt.pause; a no-op on Agg / without matplotlib."""
+    try:
+        import matplotlib
+        import matplotlib.pyplot as plt
+
+        if matplotlib.get_backend().lower() != "agg":
+            plt.pause(max(num_msecs, 1) / 1000.0)
+    except Exception:
+        pass
+
+
 def Display(A: DistMatrix, title: str = "", path: Optional[str] = None
             ) -> None:
     """Heatmap display (reference: src/io/Display.cpp:11-46, Qt5 ->
@@ -186,7 +229,7 @@ def Display(A: DistMatrix, title: str = "", path: Optional[str] = None
         import matplotlib.pyplot as plt
 
         fig, ax = plt.subplots()
-        im = ax.imshow(np.real(arr), aspect="auto")
+        im = ax.imshow(np.real(arr), aspect="auto", cmap=_COLOR_MAP)
         fig.colorbar(im)
         ax.set_title(title)
         fig.savefig(path or (title or "display") + ".png")

@@ -774,3 +774,31 @@ def RiffleDecay(n, grid=None, dtype=jnp.float64):
     A = Riffle(n, grid, dtype)
     P = RiffleStationary(n, grid, dtype)
     return A.with_data(A.data - P.redistribute(*A.dist).data)
+
+
+def ImplicitHaar(n, grid=None, dtype=jnp.float64, key=None):
+    """Haar-distributed unitary in IMPLICIT (packed Householder) form:
+    the QR factorization of a Gaussian matrix (reference:
+    random/misc/Haar.cpp ImplicitHaar — returns the packed reflectors
+    and taus instead of forming Q)."""
+    from ..lapack.qr import QR
+
+    return QR(Gaussian(n, n, grid, dtype, key=key))
+
+
+def MakeIdentity(A):
+    """Overwrite-with-identity (reference: MakeIdentity; functional
+    here: returns an identity of A's shape/layout)."""
+    return Identity(A.m, A.grid, A.dtype) if A.m == A.n else _fill(
+        A.m, A.n, lambda i, j: jnp.where(i == j, 1.0, 0.0), A.grid,
+        A.dtype)
+
+
+def MakeGaussian(A, mean=0.0, stddev=1.0, key=None):
+    """Functional MakeGaussian: a Gaussian matrix of A's shape/layout."""
+    return Gaussian(A.m, A.n, A.grid, A.dtype, mean, stddev, key=key)
+
+
+def MakeUniform(A, center=0.0, radius=1.0, key=None):
+    """Functional MakeUniform: a Uniform matrix of A's shape/layout."""
+    return Uniform(A.m, A.n, A.grid, A.dtype, center, radius, key=key)
