@@ -114,6 +114,8 @@ from .lapack import (  # noqa: F401
 )
 from . import matrices  # noqa: F401,E402
 from . import io_  # noqa: F401,E402
+io = io_  # noqa: E402  (reference namespace: El.io / El::Display)
+from .io_ import Display, Print, Spy  # noqa: F401,E402
 from . import control  # noqa: F401,E402
 from . import sparse  # noqa: F401,E402
 from . import optimization  # noqa: F401,E402
