@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 
 def _unit_random(n: int, dtype, key) -> jax.Array:
-    v = jax.random.normal(key, (n,), jnp.float64).astype(dtype)
+    v = jax.random.normal(key, (n,), jnp.zeros((), dtype).real.dtype).astype(dtype)
     return v / jnp.sqrt(jnp.sum(jnp.abs(v) ** 2))
 
 

@@ -79,7 +79,7 @@ def _sigma_min_shifted(T: jax.Array, z: jax.Array, iters: int,
     i2 = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     j2 = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     Ts = jnp.where(i2 == j2, safe[jnp.minimum(i2, n - 1)], Ts)
-    x0 = jax.random.normal(key, (n,), jnp.float64).astype(T.dtype)
+    x0 = jax.random.normal(key, (n,), jnp.abs(T).dtype).astype(T.dtype)
     x0 = x0 / jnp.sqrt(jnp.sum(jnp.abs(x0) ** 2))
 
     def body(_, x):
@@ -397,7 +397,7 @@ def _sigma_min_dense(Ac: jax.Array, z: jax.Array, iters: int,
         v = _unit_lower_adj_bwd(Lm, w)
         return jnp.zeros_like(v).at[perm].set(v)
 
-    x0 = jax.random.normal(key, (n,), jnp.float64).astype(Ac.dtype)
+    x0 = jax.random.normal(key, (n,), jnp.abs(Ac).dtype).astype(Ac.dtype)
     x0 = x0 / jnp.sqrt(jnp.sum(jnp.abs(x0) ** 2))
 
     def body(_, x):

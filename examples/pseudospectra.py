@@ -32,6 +32,7 @@ def main():
     res = Input("--res", "grid resolution", 40)
     which = Input("--matrix", "grcar|bullshead|foxli", "grcar")
     alg = Input("--alg", "power|lanczos|ira|onenorm", "power")
+    auto = Input("--auto", "auto-box via SpectralPortrait (0/1)", 0)
     ProcessInput()
     grid = El.Grid()
     if which == "grcar":
@@ -44,7 +45,12 @@ def main():
         A = M.FoxLi(n, grid=grid)
         bounds = ((-1.5, 1.5), (-1.5, 1.5))
     with Timer("portrait") as t:
-        if alg == "onenorm":
+        if auto:
+            from elementalx.lapack.pseudospectra import SpectralPortrait
+
+            port = SpectralPortrait(A, real_size=res, imag_size=res,
+                                    iters=30)
+        elif alg == "onenorm":
             port = OneNormPseudospectra(A, bounds[0], bounds[1],
                                         real_size=res, imag_size=res,
                                         iters=10)
