@@ -24,7 +24,8 @@ class LPSolution(NamedTuple):
     converged: bool
 
 
-def _newton_solve(A, x, z, rb, rc, rxz, use_sparse: bool, grid):
+def _newton_solve(A, x, z, rb, rc, rxz, use_sparse: bool, grid,
+                  solver: str = "direct"):
     """Solve the full LP Newton system
         [ 0   A^T  I ] [dx]   [-rc]
         [ A   0    0 ] [dy] = [-rb]
@@ -59,7 +60,24 @@ def _newton_solve(A, x, z, rb, rc, rxz, use_sparse: bool, grid):
     K[:n, n:] = A.T
     K[n:, :n] = A
     rhs = np.concatenate([-rc + rxz / x, -rb])
-    if n + m < 512:
+    if solver == "reg":
+        # the reference's IPM solve architecture (factor.hpp
+        # RegSolveCtrl): LDL of the REGULARIZED quasi-definite KKT
+        # matrix preconditions FGMRES on the true system
+        import jax.numpy as jnp
+
+        from ..lapack.ldl import RegularizedLDL, RegularizedSolveAfter
+
+        delta = 1e-8 * max(1.0, float(np.abs(K).max()))
+        reg = jnp.concatenate([jnp.zeros((n,)),
+                               -delta * jnp.ones((m,))])
+        Kdm = DistMatrix.from_global(K, MC, MR, grid)
+        F = RegularizedLDL(Kdm, reg, conjugate=False)
+        Rdm = DistMatrix.from_global(rhs[:, None], MC, MR, grid)
+        X = RegularizedSolveAfter(Kdm, reg, F, Rdm, conjugate=False,
+                                  rel_tol=1e-12, restart=8, max_its=32)
+        sol = np.asarray(X.global_array())[:, 0]
+    elif n + m < 512:
         sol = np.linalg.solve(K, rhs)
     else:
         from ..lapack.lu import LinearSolve
@@ -75,8 +93,11 @@ def _newton_solve(A, x, z, rb, rc, rxz, use_sparse: bool, grid):
 
 def LinearProgram(A, b, c, max_its: int = 100, tol: float = 1e-8,
                   use_sparse: bool = False,
-                  grid: Optional[Grid] = None) -> LPSolution:
-    """Mehrotra predictor-corrector (upstream spec: lp/direct/IPM)."""
+                  grid: Optional[Grid] = None,
+                  solver: str = "direct") -> LPSolution:
+    """Mehrotra predictor-corrector (upstream spec: lp/direct/IPM).
+    ``solver='reg'`` routes the KKT solves through RegularizedLDL +
+    FGMRES (the reference's REG_SOLVE_FGMRES architecture)."""
     A = np.asarray(A, np.float64)
     b = np.asarray(b, np.float64).ravel()
     c = np.asarray(c, np.float64).ravel()
@@ -110,7 +131,7 @@ def LinearProgram(A, b, c, max_its: int = 100, tol: float = 1e-8,
             break
         # predictor
         dxa, dya, dza = _newton_solve(A, x, z, rb, rc, x * z, use_sparse,
-                                      grid)
+                                      grid, solver=solver)
         ap = _max_step(x, dxa)
         ad = _max_step(z, dza)
         mu_aff = ((x + ap * dxa) @ (z + ad * dza)) / n
@@ -118,7 +139,7 @@ def LinearProgram(A, b, c, max_its: int = 100, tol: float = 1e-8,
         # corrector
         rxz = x * z + dxa * dza - sigma * mu
         dx_, dy_, dz_ = _newton_solve(A, x, z, rb, rc, rxz, use_sparse,
-                                      grid)
+                                      grid, solver=solver)
         ap = min(0.99 * _max_step(x, dx_), 1.0)
         ad = min(0.99 * _max_step(z, dz_), 1.0)
         x = x + ap * dx_

@@ -159,3 +159,16 @@ def test_socp_vs_slsqp(rng):
                    options={"maxiter": 300, "ftol": 1e-12})
     assert ref.success
     assert abs(sol.primal_obj - ref.fun) < 1e-5 * (1 + abs(ref.fun))
+
+
+def test_lp_regularized_solver(rng):
+    """solver='reg': the KKT Newton systems through RegularizedLDL +
+    FGMRES (the reference's REG_SOLVE_FGMRES IPM architecture) reach
+    the same optimum as the direct solves."""
+    m, n = 6, 14
+    A, b, c = _random_lp(rng, m, n)
+    s_dir = LP(A, b, c)
+    s_reg = LP(A, b, c, solver="reg")
+    assert s_reg.converged
+    assert abs(s_dir.primal_obj - s_reg.primal_obj) \
+        < 1e-6 * (1 + abs(s_dir.primal_obj))
