@@ -738,10 +738,11 @@ def Transform2x2(G, a1: DistMatrix, a2: DistMatrix
     g11, g12, g21, g22 = G[0, 0], G[0, 1], G[1, 0], G[1, 1]
     x1 = a1.redistribute(MC, MR)
     x2 = a2.redistribute(MC, MR)
+    dt = jnp.result_type(G.dtype, x1.dtype)  # complex G promotes real a
     n1 = g11 * x1.data + g12 * x2.data
     n2 = g21 * x1.data + g22 * x2.data
-    return x1.with_data(n1.astype(x1.dtype)), \
-        x2.with_data(n2.astype(x2.dtype))
+    return x1.with_data(n1.astype(dt), x1.m, x1.n), \
+        x2.with_data(n2.astype(dt), x2.m, x2.n)
 
 
 def Transform2x2Rows(G, A: DistMatrix, i1: int, i2: int) -> DistMatrix:
@@ -749,13 +750,11 @@ def Transform2x2Rows(G, A: DistMatrix, i1: int, i2: int) -> DistMatrix:
     Transform2x2.cpp Transform2x2Rows)."""
     G = jnp.asarray(G)
     Am = A.redistribute(MC, MR)
-    d = Am.data
+    d = Am.data.astype(jnp.result_type(G.dtype, A.dtype))
     r1, r2 = d[i1, :], d[i2, :]
     n1 = G[0, 0] * r1 + G[0, 1] * r2
     n2 = G[1, 0] * r1 + G[1, 1] * r2
-    return Am.with_data(
-        d.at[i1, :].set(n1.astype(d.dtype)).at[i2, :].set(
-            n2.astype(d.dtype)))
+    return Am.with_data(d.at[i1, :].set(n1).at[i2, :].set(n2))
 
 
 def Transform2x2Cols(G, A: DistMatrix, j1: int, j2: int) -> DistMatrix:
@@ -763,13 +762,11 @@ def Transform2x2Cols(G, A: DistMatrix, j1: int, j2: int) -> DistMatrix:
     Transform2x2.cpp Transform2x2Cols)."""
     G = jnp.asarray(G)
     Am = A.redistribute(MC, MR)
-    d = Am.data
+    d = Am.data.astype(jnp.result_type(G.dtype, A.dtype))
     c1, c2 = d[:, j1], d[:, j2]
     n1 = G[0, 0] * c1 + G[0, 1] * c2
     n2 = G[1, 0] * c1 + G[1, 1] * c2
-    return Am.with_data(
-        d.at[:, j1].set(n1.astype(d.dtype)).at[:, j2].set(
-            n2.astype(d.dtype)))
+    return Am.with_data(d.at[:, j1].set(n1).at[:, j2].set(n2))
 
 
 def RowMaxNorms(A: DistMatrix) -> jax.Array:

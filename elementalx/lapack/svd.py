@@ -171,6 +171,11 @@ def BidiagSVD(uplo, d: jax.Array, e: jax.Array, vectors: bool = False,
 
     d = jnp.asarray(d)
     e = jnp.asarray(e)
+    if jnp.iscomplexobj(d) or jnp.iscomplexobj(e):
+        # the reference phase-rotates a complex bidiagonal to real form
+        # first (as our Bidiag does); the GK embedding assumes real d, e
+        raise ValueError("BidiagSVD expects the real bidiagonal form "
+                         "(rotate phases out first, as Bidiag does)")
     n = d.shape[0]
     if n == 0:
         z = jnp.zeros((0,), d.dtype)
