@@ -146,3 +146,32 @@ def ExpandPackedReflectors(packed: jax.Array, tau: jax.Array, nb: int,
     M = packed.shape[0]
     eye = jnp.eye(M, out_cols, dtype=packed.dtype)
     return ApplyPackedReflectors(packed, tau, eye, nb, ncols, adjoint=False)
+
+
+def LeftHyperbolicReflector(chi, x: jax.Array):
+    """Hyperbolic Householder: returns (tau, new_chi, v) with
+        (I - (1/tau) w w^H Sigma) [chi; x] = -lambda e_0,
+    w = [1; v], Sigma = diag(1, -1, ..., -1)
+    (reference: reflect/Hyperbolic.cpp:20-80 — the up/downdating
+    kernel of van de Geijn & van Zee). chi must be real with
+    chi^2 > ||x||^2 (else the result is NaN, the traced analogue of
+    the reference's LogicError)."""
+    x = jnp.asarray(x)
+    alpha = jnp.real(jnp.asarray(chi))
+    xnrm2 = jnp.sum(jnp.abs(x) ** 2)
+    delta = alpha * alpha - xnrm2
+    lam = jnp.where(alpha >= 0, jnp.sqrt(delta), -jnp.sqrt(delta))
+    kappa = alpha + lam
+    zero_kappa = kappa == 0
+    safe = jnp.where(zero_kappa, jnp.ones_like(kappa), kappa)
+    v = jnp.where(zero_kappa, jnp.zeros_like(x), x / safe.astype(x.dtype))
+    tau = jnp.where(zero_kappa, jnp.ones_like(delta),
+                    (delta + alpha * lam) / (safe * safe))
+    return tau, -lam, v
+
+
+def RightHyperbolicReflector(chi, x: jax.Array):
+    """Row form (reference: Hyperbolic.cpp:132): the left kernel with
+    the vector conjugated on exit."""
+    tau, new_chi, v = LeftHyperbolicReflector(chi, x)
+    return tau, new_chi, jnp.conj(v)

@@ -108,3 +108,28 @@ def test_bidiag(grid, rng, complex_):
     rel = np.linalg.norm(recon - a) / np.linalg.norm(a)
     assert rel < 1e-10, f"bidiag reconstruction {rel}"
     assert np.all(d >= 0) or not np.iscomplexobj(f)
+
+
+def test_hyperbolic_reflectors(rng):
+    """reflect/Hyperbolic.cpp: (I - (1/tau) w w^H Sigma)[chi; x] maps to
+    -lambda e_0 and the transform is Sigma-unitary."""
+    from elementalx.lapack.reflect import (LeftHyperbolicReflector,
+                                           RightHyperbolicReflector)
+
+    n = 7
+    x = rng.standard_normal(n) * 0.2
+    chi = 3.0
+    tau, nchi, v = LeftHyperbolicReflector(chi, jnp.asarray(x))
+    tau, nchi, v = float(tau), float(nchi), np.asarray(v)
+    w = np.concatenate([[1.0], v])
+    Sig = np.diag([1.0] + [-1.0] * n)
+    H = np.eye(n + 1) - (1.0 / tau) * np.outer(w, w) @ Sig
+    out = H @ np.concatenate([[chi], x])
+    assert abs(out[0] - nchi) < 1e-12
+    assert np.abs(out[1:]).max() < 1e-12
+    assert np.abs(H @ Sig @ H.T - Sig).max() < 1e-10
+    # complex right form conjugates the vector
+    xc = (rng.standard_normal(n) + 1j * rng.standard_normal(n)) * 0.1
+    tau, nchi, vr = RightHyperbolicReflector(3.0, jnp.asarray(xc))
+    _, _, vl = LeftHyperbolicReflector(3.0, jnp.asarray(xc))
+    np.testing.assert_allclose(np.asarray(vr), np.conj(np.asarray(vl)))
