@@ -175,3 +175,27 @@ def RightHyperbolicReflector(chi, x: jax.Array):
     the vector conjugated on exit."""
     tau, new_chi, v = LeftHyperbolicReflector(chi, x)
     return tau, new_chi, jnp.conj(v)
+
+
+def LeftReflector(chi, x: jax.Array):
+    """Public reflector kernel (reference: Householder.cpp:40
+    LeftReflector): returns (tau, beta, v) with
+    (I - tau [1; v] [1; v]^H) [chi; x] = [beta; 0]. The x = 0 special
+    case returns the VALID reflector tau = 2, v = 0 mapping chi to
+    -chi, as the reference does (never H = I)."""
+    x = jnp.asarray(x)
+    full = jnp.concatenate([jnp.asarray(chi, x.dtype).reshape(1), x])
+    v, tau, beta = householder(full, 0, full.shape[0])
+    trivial = jnp.sum(jnp.abs(x) ** 2) == 0
+    # x = 0: the reference uses tau=2, v=0, beta=-chi
+    tau = jnp.where(trivial, jnp.asarray(2.0, tau.dtype), tau)
+    beta = jnp.where(trivial, -jnp.asarray(chi, beta.dtype), beta)
+    v = jnp.where(trivial, jnp.zeros_like(v), v)
+    return tau, beta, v[1:]
+
+
+def RightReflector(chi, x: jax.Array):
+    """Row form (reference: Householder.cpp RightReflector): the left
+    kernel with the vector conjugated on exit."""
+    tau, beta, v = LeftReflector(chi, x)
+    return tau, beta, jnp.conj(v)

@@ -133,3 +133,26 @@ def test_hyperbolic_reflectors(rng):
     tau, nchi, vr = RightHyperbolicReflector(3.0, jnp.asarray(xc))
     _, _, vl = LeftHyperbolicReflector(3.0, jnp.asarray(xc))
     np.testing.assert_allclose(np.asarray(vr), np.conj(np.asarray(vl)))
+
+
+def test_public_reflector_entries(rng):
+    """reflect/Householder.cpp Left/RightReflector: H[chi;x] = [beta;0],
+    unitary H; the x=0 case yields the valid tau=2 reflector."""
+    from elementalx.lapack.reflect import LeftReflector, RightReflector
+
+    n = 6
+    x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    chi = complex(rng.standard_normal())
+    tau, beta, v = LeftReflector(chi, jnp.asarray(x))
+    w = np.concatenate([[1.0], np.asarray(v)])
+    H = np.eye(n + 1) - complex(tau) * np.outer(w, np.conj(w))
+    out = H @ np.concatenate([[chi], x])
+    assert abs(out[0] - complex(beta)) < 1e-12
+    assert np.abs(out[1:]).max() < 1e-12
+    assert np.abs(H @ np.conj(H.T) - np.eye(n + 1)).max() < 1e-10
+    tau, beta, v = LeftReflector(1.5, jnp.zeros(4))
+    assert float(tau) == 2.0 and float(beta) == -1.5
+    assert np.abs(np.asarray(v)).max() == 0
+    _, _, vr = RightReflector(chi, jnp.asarray(x))
+    _, _, vl = LeftReflector(chi, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(vr), np.conj(np.asarray(vl)))
