@@ -58,3 +58,42 @@ class Permutation:
 
 PermuteRows = Permutation.apply_rows
 PermuteCols = Permutation.apply_cols
+
+
+def InversePermuteRows(P: "Permutation", A: DistMatrix) -> DistMatrix:
+    """Reference: perm/InversePermuteRows.hpp."""
+    return P.apply_rows(A, inverse=True)
+
+
+def InversePermuteCols(P: "Permutation", A: DistMatrix) -> DistMatrix:
+    """Reference: perm/InversePermuteCols.hpp."""
+    return P.apply_cols(A, inverse=True)
+
+
+def PermuteSymmetrically(P: "Permutation", A: DistMatrix,
+                         inverse: bool = False) -> DistMatrix:
+    """P A P^T (reference: perm/PermuteSymmetrically — both-sided
+    application preserving symmetry)."""
+    return P.apply_cols(P.apply_rows(A, inverse=inverse), inverse=inverse)
+
+
+def InversePermuteSymmetrically(P: "Permutation", A: DistMatrix
+                                ) -> DistMatrix:
+    return PermuteSymmetrically(P, A, inverse=True)
+
+
+def PivotsToPartialPermutation(pivots: "jax.Array", n: int):
+    """Convert a LAPACK-style swap sequence (row j <-> pivots[j]) to the
+    image-form permutation it composes to (reference:
+    perm/PivotsToPartialPermutation.hpp). Host loop (pivot vectors are
+    O(n) and eager in every caller)."""
+    import numpy as np
+
+    piv = np.asarray(pivots)
+    perm = np.arange(max(n, piv.shape[0]), dtype=np.int64)
+    for j in range(min(n, piv.shape[0])):
+        p = int(piv[j])
+        perm[j], perm[p] = perm[p], perm[j]
+    import jax.numpy as jnp
+
+    return Permutation(jnp.asarray(perm, jnp.int32), n)

@@ -126,3 +126,39 @@ def test_trdtrmm(grid, rng):
     d = np.diag(f)
     ref = np.tril(ell @ np.diag(1.0 / d) @ ell.T) + np.triu(f, 1)
     np.testing.assert_allclose(out, ref, atol=1e-11)
+
+
+def test_perm_module_extras(grid, rng):
+    """perm/: PermuteSymmetrically (+inverse), InversePermuteRows/Cols,
+    PivotsToPartialPermutation."""
+    import jax.numpy as jnp
+
+    from elementalx.lapack.perm import (InversePermuteRows,
+                                        InversePermuteSymmetrically,
+                                        Permutation,
+                                        PermuteSymmetrically,
+                                        PivotsToPartialPermutation)
+
+    n = 9
+    a = rng.standard_normal((n, n))
+    a = a + a.T
+    A = DistMatrix.from_global(a, grid=grid)
+    pm = rng.permutation(n).astype(np.int32)
+    P = Permutation(jnp.asarray(pm), n)
+    S = np.asarray(PermuteSymmetrically(P, A).global_array())
+    np.testing.assert_allclose(S, a[pm][:, pm])
+    back = InversePermuteSymmetrically(
+        P, DistMatrix.from_global(S, grid=grid))
+    np.testing.assert_allclose(np.asarray(back.global_array()), a,
+                               atol=1e-14)
+    r = np.asarray(InversePermuteRows(P, A).global_array())
+    exp = np.empty_like(a)
+    exp[pm] = a
+    np.testing.assert_allclose(r, exp)
+    piv = np.asarray([3, 1, 4, 3, 4], dtype=np.int32)
+    P2 = PivotsToPartialPermutation(piv, 5)
+    x = np.arange(5.0)
+    y = x.copy()
+    for j, p in enumerate(piv):
+        y[j], y[p] = y[p], y[j]
+    np.testing.assert_allclose(x[np.asarray(P2.perm)[:5]], y)
