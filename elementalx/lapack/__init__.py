@@ -107,7 +107,8 @@ from .equilibrate import (GeomEquil, RuizEquil,  # noqa: F401
                           SymmetricRuizEquil, SymmetricGeomEquil,
                           SymmetricDiagonalEquil)
 from . import util  # noqa: F401
-from .util import (Median, Sort, SortColumns,  # noqa: F401
+from .util import (ApplyTaggedSortToEachColumn,  # noqa: F401
+                   ApplyTaggedSortToEachRow, Median, Sort, SortColumns,
                    SortingPermutation, TaggedSort)
 from . import id_skeleton  # noqa: F401
 from .id_skeleton import ID, Skeleton  # noqa: F401

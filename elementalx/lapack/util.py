@@ -59,3 +59,27 @@ def SortingPermutation(x: jax.Array, sort: SortType = ASCENDING):
         idx = idx[::-1]
     n = idx.shape[0]
     return Permutation(idx.astype(jnp.int32), n)
+
+
+def ApplyTaggedSortToEachRow(indices: jax.Array, Z: DistMatrix
+                             ) -> DistMatrix:
+    """Reorder COLUMNS of Z by a TaggedSort's index vector — each row's
+    entries land in sorted-tag order (reference: util/Sort.cpp:136)."""
+    d = Z.data
+    idx = jnp.asarray(indices, jnp.int32)
+    Q = d.shape[1]
+    full = jnp.concatenate([idx, jnp.arange(idx.shape[0], Q,
+                                            dtype=jnp.int32)])
+    return Z.with_data(jnp.take(d, full, axis=1, unique_indices=True))
+
+
+def ApplyTaggedSortToEachColumn(indices: jax.Array, Z: DistMatrix
+                                ) -> DistMatrix:
+    """Reorder ROWS of Z by a TaggedSort's index vector
+    (reference: util/Sort.cpp:153)."""
+    d = Z.data
+    idx = jnp.asarray(indices, jnp.int32)
+    P = d.shape[0]
+    full = jnp.concatenate([idx, jnp.arange(idx.shape[0], P,
+                                            dtype=jnp.int32)])
+    return Z.with_data(jnp.take(d, full, axis=0, unique_indices=True))
