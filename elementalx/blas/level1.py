@@ -824,3 +824,60 @@ def RealToComplex(A: DistMatrix) -> DistMatrix:
     Am = A.redistribute(MC, MR)
     cdt = jnp.complex64 if Am.dtype == jnp.float32 else jnp.complex128
     return Am.with_data(Am.data.astype(cdt))
+
+
+def GetRealPartOfDiagonal(A: DistMatrix, offset: int = 0) -> DistMatrix:
+    """Reference: GetDiagonal.hpp real-part accessor."""
+    d = GetDiagonal(A, offset)
+    return d.with_data(jnp.real(d.data))
+
+
+def GetImagPartOfDiagonal(A: DistMatrix, offset: int = 0) -> DistMatrix:
+    d = GetDiagonal(A, offset)
+    return d.with_data(jnp.imag(d.data))
+
+
+def _set_part_of_diagonal(A: DistMatrix, d: DistMatrix, offset: int,
+                          imag: bool, update_alpha=None) -> DistMatrix:
+    dvec = d.replicated()[:, 0]
+    i, j = _iota_masks(A)
+    on_diag = (j - i == offset) & A.pad_mask()
+    idx = jnp.where(offset >= 0, i, j)
+    vals = jnp.real(dvec)[jnp.clip(idx, 0, dvec.shape[0] - 1)]
+    cur_re = jnp.real(A.data)
+    cur_im = jnp.imag(A.data) if jnp.iscomplexobj(A.data) else None
+    if update_alpha is not None:
+        base = cur_im if imag else cur_re
+        vals = base + jnp.real(jnp.asarray(update_alpha)) * vals
+    if imag:
+        if cur_im is None:
+            raise ValueError("imaginary diagonal part of a real matrix")
+        new = cur_re + 1j * jnp.where(on_diag, vals, cur_im)
+    else:
+        new = jnp.where(on_diag, vals, cur_re)
+        if cur_im is not None:
+            new = new + 1j * cur_im
+    return _like(A, new.astype(A.dtype))
+
+
+def SetRealPartOfDiagonal(A: DistMatrix, d: DistMatrix,
+                          offset: int = 0) -> DistMatrix:
+    """Reference: SetDiagonal.hpp SetRealPartOfDiagonal."""
+    return _set_part_of_diagonal(A, d, offset, imag=False)
+
+
+def SetImagPartOfDiagonal(A: DistMatrix, d: DistMatrix,
+                          offset: int = 0) -> DistMatrix:
+    return _set_part_of_diagonal(A, d, offset, imag=True)
+
+
+def UpdateRealPartOfDiagonal(A: DistMatrix, alpha, d: DistMatrix,
+                             offset: int = 0) -> DistMatrix:
+    return _set_part_of_diagonal(A, d, offset, imag=False,
+                                 update_alpha=alpha)
+
+
+def UpdateImagPartOfDiagonal(A: DistMatrix, alpha, d: DistMatrix,
+                             offset: int = 0) -> DistMatrix:
+    return _set_part_of_diagonal(A, d, offset, imag=True,
+                                 update_alpha=alpha)
