@@ -122,3 +122,14 @@ from . import optimization  # noqa: F401,E402
 from . import utils  # noqa: F401,E402
 from . import kernels  # noqa: F401,E402
 from . import native  # noqa: F401,E402
+
+# The reference's namespace is flat (everything lives in El::). Mirror
+# that: lift every public blas/lapack entry point to the package root,
+# never overriding a name already bound above (e.g. Trace stays the
+# lapack props version, exactly like the curated imports).
+for _mod in (blas, lapack):
+    for _name, _obj in vars(_mod).items():
+        if _name[:1].isupper() and callable(_obj) \
+                and not hasattr(_mod, "__" + _name):
+            globals().setdefault(_name, _obj)
+del _mod, _name, _obj

@@ -44,4 +44,11 @@ from .quasi import (  # noqa: F401
     SafeMultiShiftTrsm,
     Trstrm,
 )
-from .contract import AxpyContract, Contract  # noqa: F401
+from .contract import (  # noqa: F401
+    AdjointAxpyContract,
+    AdjointContract,
+    AxpyContract,
+    Contract,
+    TransposeAxpyContract,
+    TransposeContract,
+)

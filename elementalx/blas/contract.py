@@ -60,3 +60,37 @@ def AxpyContract(alpha, A: DistMatrix, B: DistMatrix) -> DistMatrix:
     C = Contract(A, B.col_dist, B.row_dist)
     return B.with_data(B.data + jnp.asarray(alpha, B.dtype)
                        * C.data.astype(B.dtype))
+
+
+def TransposeContract(A: DistMatrix, col_dist: Dist, row_dist: Dist,
+                      conjugate: bool = False) -> DistMatrix:
+    """B[U,V] = Contract(A)^T (reference: TransposeContract.hpp:14-43 —
+    contract the partial/redundant axis, then transpose into B's
+    distribution). Functionally: Contract in A's own distribution, then
+    a Transpose redistribution to (col_dist, row_dist) — GSPMD plans the
+    combined movement in one program."""
+    from .level1 import Transpose
+
+    C = Contract(A, A.col_dist, A.row_dist)
+    return Transpose(C, conjugate=conjugate).redistribute(
+        col_dist, row_dist)
+
+
+def AdjointContract(A: DistMatrix, col_dist: Dist, row_dist: Dist
+                    ) -> DistMatrix:
+    """Reference: AdjointContract.hpp — TransposeContract, conjugated."""
+    return TransposeContract(A, col_dist, row_dist, conjugate=True)
+
+
+def TransposeAxpyContract(alpha, A: DistMatrix, B: DistMatrix,
+                          conjugate: bool = False) -> DistMatrix:
+    """B += alpha Contract(A)^T (reference:
+    TransposeAxpyContract.hpp:14-47)."""
+    C = TransposeContract(A, B.col_dist, B.row_dist, conjugate=conjugate)
+    return B.with_data(B.data + jnp.asarray(alpha, B.dtype)
+                       * C.data.astype(B.dtype))
+
+
+def AdjointAxpyContract(alpha, A: DistMatrix, B: DistMatrix) -> DistMatrix:
+    """Reference: AdjointContract.hpp AdjointAxpyContract."""
+    return TransposeAxpyContract(alpha, A, B, conjugate=True)

@@ -881,3 +881,142 @@ def UpdateImagPartOfDiagonal(A: DistMatrix, alpha, d: DistMatrix,
                              offset: int = 0) -> DistMatrix:
     return _set_part_of_diagonal(A, d, offset, imag=True,
                                  update_alpha=alpha)
+
+
+# ---------------------------------------------------------------------------
+# value-and-location reductions (the MPI MaxLocOp/MinLocOp family)
+# ---------------------------------------------------------------------------
+
+
+def _loc_reduce(A: DistMatrix, vals: jax.Array, valid: jax.Array,
+                maximize: bool) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(value, i, j) of the extremal entry of ``vals`` over ``valid``.
+
+    On TPU this is a masked argmax/argmin + integer decode; XLA emits the
+    cross-mesh reduction (the analogue of the reference's MaxLocOp /
+    MinLocOp AllReduce, src/core/mpi_register.cpp). Ties resolve to the
+    first entry in row-major order, matching the lowest-rank MPI tie
+    rule for the element-cyclic layout's owner ordering."""
+    if jnp.issubdtype(vals.dtype, jnp.complexfloating):
+        raise TypeError("Loc reductions are defined for real values "
+                        "(use the Abs variants for complex matrices)")
+    sentinel = jnp.asarray(-jnp.inf if maximize else jnp.inf, vals.dtype)
+    masked = jnp.where(valid, vals, sentinel)
+    flat = masked.ravel()
+    k = jnp.argmax(flat) if maximize else jnp.argmin(flat)
+    Q = vals.shape[1]
+    return flat[k], k // Q, k % Q
+
+
+def MaxLoc(A: DistMatrix) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(value, i, j) of the maximum entry (reference: MaxLoc.cpp MaxLoc)."""
+    return _loc_reduce(A, A.data, A.pad_mask(), maximize=True)
+
+
+def MinLoc(A: DistMatrix) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Reference: MaxLoc.cpp MinLoc (decl.hpp:1183)."""
+    return _loc_reduce(A, A.data, A.pad_mask(), maximize=False)
+
+
+def MinAbsLoc(A: DistMatrix) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(|value|, i, j) of the min-|.| entry (reference: MinAbsLoc.hpp)."""
+    return _loc_reduce(A, jnp.abs(A.data), A.pad_mask(), maximize=False)
+
+
+def _sym_mask(A: DistMatrix, uplo: UpperOrLower) -> jax.Array:
+    i, j = _iota_masks(A)
+    tri = (i >= j) if uplo == LOWER else (i <= j)
+    return A.pad_mask() & tri
+
+
+def SymmetricMaxLoc(uplo: UpperOrLower, A: DistMatrix):
+    """MaxLoc restricted to the stored triangle (reference: MaxLoc.cpp
+    SymmetricMaxLoc)."""
+    return _loc_reduce(A, A.data, _sym_mask(A, uplo), maximize=True)
+
+
+def SymmetricMinLoc(uplo: UpperOrLower, A: DistMatrix):
+    return _loc_reduce(A, A.data, _sym_mask(A, uplo), maximize=False)
+
+
+def SymmetricMaxAbsLoc(uplo: UpperOrLower, A: DistMatrix):
+    """Reference: MaxAbsLoc.hpp SymmetricMaxAbsLoc."""
+    return _loc_reduce(A, jnp.abs(A.data), _sym_mask(A, uplo),
+                       maximize=True)
+
+
+def SymmetricMinAbsLoc(uplo: UpperOrLower, A: DistMatrix):
+    return _loc_reduce(A, jnp.abs(A.data), _sym_mask(A, uplo),
+                       maximize=False)
+
+
+def VectorMaxLoc(x: DistMatrix) -> Tuple[jax.Array, jax.Array]:
+    """(value, index) over a column/row vector (reference: MaxLoc.cpp
+    VectorMaxLoc)."""
+    v, i, j = MaxLoc(x)
+    return v, i if x.n == 1 else j
+
+
+def VectorMinLoc(x: DistMatrix) -> Tuple[jax.Array, jax.Array]:
+    v, i, j = MinLoc(x)
+    return v, i if x.n == 1 else j
+
+
+def VectorMinAbsLoc(x: DistMatrix) -> Tuple[jax.Array, jax.Array]:
+    v, i, j = MinAbsLoc(x)
+    return v, i if x.n == 1 else j
+
+
+# ---------------------------------------------------------------------------
+# census tail: HilbertSchmidt, Symmetric2x2Inv, AdjointAxpy
+# ---------------------------------------------------------------------------
+
+
+def HilbertSchmidt(A: DistMatrix, B: DistMatrix) -> jax.Array:
+    """The Hilbert-Schmidt inner product <A, B> = sum conj(a_ij) b_ij
+    (reference: src/blas_like/level1/HilbertSchmidt.cpp). Identical to
+    Dot on matrices; kept as the named entry point."""
+    if A.shape != B.shape:
+        raise ValueError("Matrices must be the same size")
+    return Dot(A, B)
+
+
+def Symmetric2x2Inv(uplo: UpperOrLower, D, conjugate: bool = False
+                    ) -> jax.Array:
+    """Invert a symmetric (or Hermitian, ``conjugate``) 2x2 matrix given
+    by its lower triangle, returning the packed lower triangle of the
+    inverse (reference: src/blas_like/level1/Symmetric2x2Inv.cpp:14-53;
+    like the reference, only uplo=LOWER is supported). Used by the
+    Bunch-Kaufman D-block solves; fully vectorizable under vmap for the
+    batched pivoted-LDL solve path."""
+    if uplo != LOWER:
+        raise NotImplementedError("This option not yet supported")
+    D = jnp.asarray(D.data if isinstance(D, DistMatrix) else D)
+    d11, d21, d22 = D[0, 0], D[1, 0], D[1, 1]
+    if conjugate:
+        d11 = jnp.real(d11)
+        d22 = jnp.real(d22)
+        d21abs = jnp.abs(d21)
+        phi21to11 = d22 / d21abs
+        phi21to22 = d11 / d21abs
+        phi21 = d21 / d21abs
+        xi = (1.0 / (phi21to11 * phi21to22 - 1.0)) / d21abs
+        n11 = (xi * phi21to11).astype(D.dtype)
+        n21 = (-xi * phi21).astype(D.dtype)
+        n22 = (xi * phi21to22).astype(D.dtype)
+        if jnp.issubdtype(D.dtype, jnp.complexfloating):
+            n11 = n11.real + 0j
+            n22 = n22.real + 0j
+    else:
+        chi21to11 = -d22 / d21
+        chi21to22 = -d11 / d21
+        chi21 = (1.0 / (1.0 - chi21to11 * chi21to22)) / d21
+        n11, n21, n22 = chi21 * chi21to11, chi21, chi21 * chi21to22
+    out = jnp.zeros((2, 2), D.dtype)
+    out = out.at[0, 0].set(n11).at[1, 0].set(n21).at[1, 1].set(n22)
+    return out
+
+
+def AdjointAxpy(alpha: Scalar, X: DistMatrix, Y: DistMatrix) -> DistMatrix:
+    """Y += alpha X^H (reference: TransposeAxpy.hpp AdjointAxpy)."""
+    return TransposeAxpy(alpha, X, Y, conjugate=True)

@@ -257,3 +257,108 @@ def test_minabs_and_norm_vectors(grid):
     np.testing.assert_allclose(np.asarray(L1.RowTwoNorms(A))[:9],
                                np.linalg.norm(a, axis=1), rtol=1e-12)
     assert L1.RealToComplex(A).dtype == jnp.complex128
+
+
+def test_loc_reduction_family(rng, g):
+    """MaxLoc/MinLoc/MinAbsLoc + Symmetric/Vector variants against numpy
+    (reference: MaxLoc.cpp / MinAbsLoc.hpp semantics)."""
+    a, A = _mk(rng, g, 7, 5)
+    for fn, red in [(L1.MaxLoc, np.argmax), (L1.MinLoc, np.argmin)]:
+        v, i, j = fn(A)
+        k = red(a)
+        assert (int(i), int(j)) == (k // 5, k % 5)
+        np.testing.assert_allclose(float(v), a[k // 5, k % 5])
+    v, i, j = L1.MinAbsLoc(A)
+    k = np.argmin(np.abs(a))
+    assert (int(i), int(j)) == (k // 5, k % 5)
+    np.testing.assert_allclose(float(v), abs(a[k // 5, k % 5]))
+
+    s, S = _mk(rng, g, 6, 6)
+    for uplo, tri in [(LOWER, np.tril), (UPPER, np.triu)]:
+        masked = np.where(tri(np.ones_like(s)) > 0, s, -np.inf)
+        v, i, j = L1.SymmetricMaxLoc(uplo, S)
+        k = np.argmax(masked)
+        assert (int(i), int(j)) == (k // 6, k % 6)
+        masked = np.where(tri(np.ones_like(s)) > 0, s, np.inf)
+        v, i, j = L1.SymmetricMinLoc(uplo, S)
+        k = np.argmin(masked)
+        assert (int(i), int(j)) == (k // 6, k % 6)
+        am = np.where(tri(np.ones_like(s)) > 0, np.abs(s), -np.inf)
+        v, i, j = L1.SymmetricMaxAbsLoc(uplo, S)
+        k = np.argmax(am)
+        np.testing.assert_allclose(float(v), am[k // 6, k % 6])
+        am = np.where(tri(np.ones_like(s)) > 0, np.abs(s), np.inf)
+        v, i, j = L1.SymmetricMinAbsLoc(uplo, S)
+        k = np.argmin(am)
+        assert (int(i), int(j)) == (k // 6, k % 6)
+
+    x, X = _mk(rng, g, 9, 1)
+    v, i = L1.VectorMaxLoc(X)
+    assert int(i) == int(np.argmax(x))
+    v, i = L1.VectorMinLoc(X)
+    assert int(i) == int(np.argmin(x))
+    v, i = L1.VectorMinAbsLoc(X)
+    assert int(i) == int(np.argmin(np.abs(x)))
+    # row-vector form indexes along the width
+    xr, XR = _mk(rng, g, 1, 9)
+    v, i = L1.VectorMaxLoc(XR)
+    assert int(i) == int(np.argmax(xr))
+    # complex rejects the signed reductions
+    c, C = _mk(rng, g, 4, 4, np.complex128)
+    with pytest.raises(TypeError):
+        L1.MaxLoc(C)
+    v, i, j = L1.MinAbsLoc(C)
+    k = np.argmin(np.abs(c))
+    assert (int(i), int(j)) == (k // 4, k % 4)
+
+
+def test_hilbert_schmidt(rng, g):
+    a, A = _mk(rng, g, 6, 4, np.complex128)
+    b, B = _mk(rng, g, 6, 4, np.complex128)
+    np.testing.assert_allclose(complex(L1.HilbertSchmidt(A, B)),
+                               np.vdot(a, b), rtol=1e-12)
+
+
+def test_symmetric_2x2_inv(rng, g):
+    # symmetric (non-conjugated) complex
+    d = rng.standard_normal((2, 2)) + 1j * rng.standard_normal((2, 2))
+    d[1, 1] += 3.0
+    d[0, 1] = d[1, 0]
+    inv = np.array(L1.Symmetric2x2Inv(LOWER, jnp.asarray(d)))
+    inv[0, 1] = inv[1, 0]
+    np.testing.assert_allclose(inv @ d, np.eye(2), atol=1e-12)
+    # Hermitian (conjugated): build an indefinite Hermitian 2x2
+    h = np.array([[0.5, 0], [0, -1.5]], np.complex128)
+    h[1, 0] = 2.0 + 1.0j
+    h[0, 1] = np.conj(h[1, 0])
+    invh = np.array(L1.Symmetric2x2Inv(LOWER, jnp.asarray(h),
+                                        conjugate=True))
+    invh[0, 1] = np.conj(invh[1, 0])
+    np.testing.assert_allclose(invh @ h, np.eye(2), atol=1e-12)
+
+
+def test_adjoint_axpy_and_contract_variants(rng, g):
+    a, A = _mk(rng, g, 5, 7, np.complex128)
+    y, Y = _mk(rng, g, 7, 5, np.complex128)
+    out = L1.AdjointAxpy(2.0, A, Y)
+    np.testing.assert_allclose(out.replicated()[:7, :5],
+                               y + 2.0 * np.conj(a.T), rtol=1e-12)
+
+    from elementalx.blas.contract import (AdjointContract,
+                                          TransposeAxpyContract,
+                                          TransposeContract)
+    from elementalx.core.types import MC, MR, STAR
+
+    b, B = _mk(rng, g, 6, 8)
+    Bmc = B.redistribute(MC, STAR)
+    T = TransposeContract(Bmc, MC, MR)
+    np.testing.assert_allclose(T.replicated()[:8, :6], b.T, rtol=1e-12)
+    c, C = _mk(rng, g, 6, 8, np.complex128)
+    Cmc = C.redistribute(MC, STAR)
+    Ad = AdjointContract(Cmc, MC, MR)
+    np.testing.assert_allclose(Ad.replicated()[:8, :6], np.conj(c.T),
+                               rtol=1e-12)
+    t, Tgt = _mk(rng, g, 8, 6)
+    upd = TransposeAxpyContract(0.5, Bmc, Tgt)
+    np.testing.assert_allclose(upd.replicated()[:8, :6], t + 0.5 * b.T,
+                               rtol=1e-12)
