@@ -37,7 +37,7 @@ def main():
                 def body(_, X):
                     out = ApplyPackedReflectors(pk, tau, X, nb, N,
                                                 adjoint=False)
-                    return X + jnp.sum(out[0]) * 1e-30
+                    return X + jnp.sum(out.astype(jnp.float32)) * 1e-30
                 X = jax.lax.fori_loop(0, k, body, B)
                 return jnp.sum(X[0])
             return jax.jit(f)

@@ -97,7 +97,7 @@ def main():
         def f(A):
             def body(_, X):
                 F = El.QR(X)
-                s = jnp.sum(F.packed.data[0]) * 1e-30
+                s = jnp.sum(F.packed.data.astype(jnp.float32)) * 1e-30
                 return X.with_data(X.data.at[0, 0].add(s))
             X = jax.lax.fori_loop(0, k, body, A)
             return jnp.sum(X.data[0])
@@ -113,7 +113,7 @@ def main():
             def f(A):
                 def body(_, X):
                     out, tau = qr_slab(X.data, N, N, outer, inner)
-                    s = jnp.sum(out[0]) * 1e-30
+                    s = jnp.sum(out.astype(jnp.float32)) * 1e-30
                     return X.with_data(X.data.at[0, 0].add(s))
                 X = jax.lax.fori_loop(0, k, body, A)
                 return jnp.sum(X.data[0])

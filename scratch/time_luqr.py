@@ -45,7 +45,7 @@ def main():
             def f(A):
                 def body(_, X):
                     F, P = El.LU(X)
-                    s = jnp.sum(F.data[0]) * 1e-30
+                    s = jnp.sum(F.data.astype(jnp.float32)) * 1e-30
                     return X.with_data(X.data.at[0, 0].add(s))
                 X = jax.lax.fori_loop(0, k, body, A)
                 return jnp.sum(X.data[0])
@@ -60,7 +60,7 @@ def main():
             def f(A):
                 def body(_, X):
                     F = El.QR(X)
-                    s = jnp.sum(F.packed.data[0]) * 1e-30
+                    s = jnp.sum(F.packed.data.astype(jnp.float32)) * 1e-30
                     return X.with_data(X.data.at[0, 0].add(s))
                 X = jax.lax.fori_loop(0, k, body, A)
                 return jnp.sum(X.data[0])
