@@ -211,11 +211,17 @@ def _cholesky_jit(uplo: UpperOrLower, A: DistMatrix,
     low_store = A.dtype in (jnp.bfloat16, jnp.float16)
     single = A.grid.size == 1
     if blocksize is None and single:
-        # larger base cases keep more of the work inside XLA's native
-        # cholesky composite on a single chip. Measured knees on v5e
-        # (PERF.md): f32-HIGHEST wants 2048 (13.8 ms at n=8192);
-        # bf16 single-pass updates want 1024 (4.4 ms at n=8192)
-        nb = max(nb, 1024 if low_store else 2048)
+        # panel-width knees measured on v5e (PERF.md; scratch/ab_chol3/4):
+        # the left-looking scheme wants NARROWER panels as N grows — the
+        # history product is single-pass MXU while the O(n nb^2) panel
+        # chol+trsm work scales with nb. 16384 bf16: nb=512 16.1-18.5 ms
+        # vs 1024 19.1; f32: nb=512 36.1 ms vs 1024 38.0 vs 2048 42.1.
+        # Below ~12k the wider panels' fewer dispatches win (8192 bf16
+        # 1024: 4.4 ms).
+        if A.data.shape[0] >= 12288:
+            nb = max(nb, 512)
+        else:
+            nb = max(nb, 1024 if low_store else 2048)
     d = _prep_lower_tri(A, uplo)
     # low-precision storage factors through f32 carriers (XLA's Cholesky
     # has no bf16/f16 kernel; accumulation wants f32 anyway) with the L

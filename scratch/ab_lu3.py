@@ -108,19 +108,23 @@ def main():
             / jnp.linalg.norm(asml)
         print(f"{tag} residual (n=512): {float(res):.2e}", flush=True)
 
-    def mk_cur(k):
-        def f(A):
-            def body(_, X):
-                F, P = El.LU(X)
-                s = jnp.sum(F.data.astype(jnp.float32)) * 1e-30
-                return X.with_data(X.data.at[0, 0].add(s))
-            X = jax.lax.fori_loop(0, k, body, A)
-            return jnp.sum(X.data[0])
-        return jax.jit(f)
+    only = os.environ.get("VARIANTS", "").split(",") if \
+        os.environ.get("VARIANTS") else None
 
-    t = chain_time(mk_cur, (A,))
-    print(f"V0 current: {t*1e3:.1f} ms  {(2/3)*N**3/t/1e12:.1f} TF/s",
-          flush=True)
+    if only is None or "V0" in only:
+        def mk_cur(k):
+            def f(A):
+                def body(_, X):
+                    F, P = El.LU(X)
+                    s = jnp.sum(F.data.astype(jnp.float32)) * 1e-30
+                    return X.with_data(X.data.at[0, 0].add(s))
+                X = jax.lax.fori_loop(0, k, body, A)
+                return jnp.sum(X.data[0])
+            return jax.jit(f)
+
+        t = chain_time(mk_cur, (A,))
+        print(f"V0 current: {t*1e3:.1f} ms  {(2/3)*N**3/t/1e12:.1f} TF/s",
+              flush=True)
 
     for tag, nb, kw in [("V1 nb=1024", 1024, {}),
                         ("V2 nb=1024 logical", 1024,
@@ -128,6 +132,8 @@ def main():
                         ("V1w nb=2048", 2048, {}),
                         ("V2w nb=2048 logical", 2048,
                          {"logical_update": True})]:
+        if only is not None and tag.split()[0] not in only:
+            continue
         def mk(k, nb=nb, kw=kw):
             def f(A):
                 def body(_, X):

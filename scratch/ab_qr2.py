@@ -93,6 +93,17 @@ def main():
     a = rng.standard_normal((N, N)).astype(np.float32)
     A = DistMatrix.from_global(jnp.asarray(a), grid=grid)
 
+    # correctness: slab QR must match the R of the library QR (small n)
+    ns = 768
+    asml = jnp.asarray(rng.standard_normal((ns, ns)).astype(np.float32))
+    outs, _ = jax.jit(lambda x: qr_slab(x, ns, ns, 512, 256))(asml)
+    Rs = jnp.triu(outs)
+    res = jnp.linalg.norm(jnp.abs(Rs) - jnp.abs(
+        jnp.triu(El.QR(DistMatrix.from_global(asml, grid=grid))
+                 .packed.data[:ns, :ns]))) / jnp.linalg.norm(asml)
+    print(f"slab |R| residual vs library (n={ns}): {float(res):.2e}",
+          flush=True)
+
     def mk_cur(k):
         def f(A):
             def body(_, X):
