@@ -104,22 +104,27 @@ def main():
     print(f"slab |R| residual vs library (n={ns}): {float(res):.2e}",
           flush=True)
 
-    def mk_cur(k):
-        def f(A):
-            def body(_, X):
-                F = El.QR(X)
-                s = jnp.sum(F.packed.data.astype(jnp.float32)) * 1e-30
-                return X.with_data(X.data.at[0, 0].add(s))
-            X = jax.lax.fori_loop(0, k, body, A)
-            return jnp.sum(X.data[0])
-        return jax.jit(f)
+    if os.environ.get("V0"):
+        def mk_cur(k):
+            def f(A):
+                def body(_, X):
+                    F = El.QR(X)
+                    s = jnp.sum(F.packed.data.astype(jnp.float32)) * 1e-30
+                    return X.with_data(X.data.at[0, 0].add(s))
+                X = jax.lax.fori_loop(0, k, body, A)
+                return jnp.sum(X.data[0])
+            return jax.jit(f)
 
-    t = chain_time(mk_cur, (A,))
-    print(f"V0 current: {t*1e3:.1f} ms  {(4/3)*N**3/t/1e12:.1f} TF/s",
-          flush=True)
+        t = chain_time(mk_cur, (A,))
+        print(f"V0 current: {t*1e3:.1f} ms  {(4/3)*N**3/t/1e12:.1f} TF/s",
+              flush=True)
 
-    for outer, inner in [(1024, 256), (2048, 256), (2048, 512),
-                         (4096, 512)]:
+    # round 2: trailing traffic is NOT the bottleneck (1024/256 tied V0
+    # at ~216 ms, 2048/256 lost). geqrf panel width is: (16384,256)
+    # costs 2.33 ms vs (16384,128) 0.74 (prof_geqrf). Narrow inner
+    # panels + slab-confined updates dodge the "extra full-trailing
+    # passes" penalty that killed flat nb=128 (284.8 ms).
+    for outer, inner in [(1024, 128), (512, 128), (1024, 64)]:
         def mk(k, outer=outer, inner=inner):
             def f(A):
                 def body(_, X):
