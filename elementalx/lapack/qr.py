@@ -48,6 +48,125 @@ class QRFactorization(NamedTuple):
 
 _QR_INNER = 16
 
+# CholeskyQR2 panels take over from geqrf at this width for f32/bf16
+# (the geqrf custom call costs ~1 ms per (16384, 256) panel — an
+# effective ~1.2 TF/s that scales with panel AREA; the cholqr panel is
+# 4 tall MXU matmuls + 256^2-sized tails). Measured at 16384 f32
+# (scratch/ab_qr3.py): geqrf-panel QR 210.7 ms -> cholqr 146.4 ms.
+_CHOLQR_MIN_NB = 192
+# square-ish trailing corners are exactly where cond(panel) blows up
+# the CholeskyQR predicate, and their geqrf area is small — skip them
+_CHOLQR_MIN_ASPECT = 4
+
+
+def _use_cholqr_panels(dtype, nb: int) -> bool:
+    import os
+
+    if os.environ.get("ELEMENTALX_QR_PANEL", "") == "geqrf":
+        return False
+    return dtype in (jnp.float32, jnp.bfloat16) and nb >= _CHOLQR_MIN_NB
+
+
+def _geqrf_slab(s32: jax.Array, nb: int
+                ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """geqrf of an (Mt, nb) slice -> (packed slab, tau, T)."""
+    from jax._src.lax.linalg import geqrf
+
+    pk, tnew = geqrf(s32)
+    r2 = jax.lax.broadcasted_iota(jnp.int32, pk.shape, 0)
+    c2 = jax.lax.broadcasted_iota(jnp.int32, pk.shape, 1)
+    V = jnp.where(r2 > c2, pk, jnp.zeros_like(pk))
+    V = jnp.where(r2 == c2, jnp.ones((), pk.dtype), V)
+    return pk, tnew, build_wy_T(V, tnew)
+
+
+def _panel_cholqr(a: jax.Array, tau: jax.Array, k0: int, nb: int, m: int
+                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """MXU-bound panel: CholeskyQR2 + Householder reconstruction.
+
+    Reference semantics: QR/PanelHouseholder.hpp (the panel contract is
+    identical to _panel_qr's). TPU-native scheme (TSQR-HR, Ballard et
+    al. IPDPS'14; CholeskyQR2, Yamamoto et al.):
+
+      1. G1 = A1^T A1 (HIGHEST); R1 = chol(G1 + shift); Q1 = A1 R1^{-1}
+      2. G2 = Q1^T Q1 (HIGHEST); R2 = chol(G2); R = R2 R1
+      3. reconstruction: with the sign scaling S (s_i = -sign(q_ii)),
+         the no-pivot LU  Q S - E1 = V W  gives the unit-lower V whose
+         reflectors reproduce Q: (I - V T V^H) E1 = Q S with
+         T = -W V1^{-H} and tau_i = -W_ii.  V2 needs no explicit tall
+         Q:  V2 = Q1[b:] @ (R2^{-1} S W^{-1})  — one fused matmul.
+         The b x b LU is the pivoted XLA custom call on a matrix whose
+         diagonal sits in [-2,-1] with off-diag <= 1, so the identity
+         permutation wins generically; the predicate checks it.
+
+    Every tall op is a b-wide MXU matmul (Grams at HIGHEST, products at
+    HIGH). A runtime predicate (pass-1 orthogonality < 0.25, identity
+    LU pivots, finite results, tau in the Householder range) routes
+    ill-conditioned panels to the geqrf slab inside a lax.cond whose
+    carry is only the (Mt, b) slab — NOT the full matrix. Returns
+    (a, tau, T) with T the compact-WY factor of this panel (free here;
+    the generic path would re-derive it from a tall Gram)."""
+    from ..blas.trinv import tri_inv_lower_unit, tri_inv_upper
+
+    M, N = a.shape
+    Mt = M - k0
+    HI = jax.lax.Precision.HIGHEST
+    H3 = jax.lax.Precision.HIGH
+    sl = jax.lax.dynamic_slice(a, (k0, k0), (Mt, nb))
+    low = a.dtype in (jnp.bfloat16, jnp.float16)
+    s32 = sl.astype(jnp.float32) if low else sl
+
+    if Mt < _CHOLQR_MIN_ASPECT * nb:
+        pk, tnew, T = _geqrf_slab(s32, nb)
+    else:
+        eps = jnp.finfo(jnp.float32).eps
+        eye = jnp.eye(nb, dtype=jnp.float32)
+        G1 = local_gemm(s32.T, s32, precision=HI)
+        shift = (100.0 * nb * eps) * jnp.max(jnp.abs(jnp.diag(G1)))
+        R1 = jax.lax.linalg.cholesky(G1 + shift * eye).T
+        Q1 = local_gemm(s32, tri_inv_upper(R1), precision=H3)
+        G2 = local_gemm(Q1.T, Q1, precision=HI)
+        ortho_err = jnp.max(jnp.abs(G2 - eye))
+        R2 = jax.lax.linalg.cholesky(G2).T
+        R2inv = tri_inv_upper(R2)
+        R = jnp.triu(local_gemm(R2, R1))
+        Q_top = local_gemm(Q1[:nb, :], R2inv)
+        qd = jnp.diag(Q_top)
+        s = jnp.where(qd >= 0, -jnp.ones_like(qd), jnp.ones_like(qd))
+        B1 = Q_top * s[None, :] - eye
+        lu1, _, lperm = jax.lax.linalg.lu(B1)
+        ident = jnp.all(lperm == jnp.arange(nb, dtype=lperm.dtype))
+        r2 = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+        c2 = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
+        W = jnp.where(r2 <= c2, lu1, jnp.zeros_like(lu1))
+        V1 = jnp.where(r2 > c2, lu1, jnp.zeros_like(lu1))
+        tau_new = -jnp.diag(W)
+        C = local_gemm(R2inv * s[None, :], tri_inv_upper(W))
+        V2 = local_gemm(Q1[nb:, :], C, precision=H3)
+        Rt = s[:, None] * R
+        ok = (ortho_err < 0.25) & ident & jnp.all(jnp.isfinite(Rt)) \
+            & jnp.all(jnp.isfinite(V2)) \
+            & jnp.all(jnp.abs(tau_new) > 0.5)
+        top = jnp.where(r2 > c2, V1, Rt)
+        packed_fast = jnp.concatenate([top, V2], axis=0)
+        V1u = jnp.where(r2 == c2, jnp.ones((), s32.dtype), V1)
+        T_fast = -local_gemm(W, jnp.conj(tri_inv_lower_unit(V1u)).T)
+
+        def fast(s32):
+            return packed_fast, tau_new, T_fast
+
+        def slow(s32):
+            return _geqrf_slab(s32, nb)
+
+        pk, tnew, T = jax.lax.cond(ok, fast, slow, s32)
+
+    if low:
+        pk = pk.astype(a.dtype)
+        T = T.astype(a.dtype)
+    a = jax.lax.dynamic_update_slice(a, pk, (k0, k0))
+    tau = jax.lax.dynamic_update_slice(tau, tnew.astype(tau.dtype), (k0,))
+    return a, tau, T
+
 
 def _panel_qr(a: jax.Array, tau: jax.Array, k0: int, nb: int, m: int
               ) -> Tuple[jax.Array, jax.Array]:
@@ -150,10 +269,15 @@ def _qr_packed(a: jax.Array, m: int, n: int, nb: int
     # strided trailing-slice materialisation + writeback, which swamps
     # the geqrf saving.
     tau = tau0
+    cholqr = _use_cholqr_panels(a.dtype, nb)
     k0 = 0
     while k0 < ncols:
         w = min(nb, ncols - k0)
-        a, tau = _panel_qr(a, tau, k0, w, m)
+        T = None
+        if cholqr and w >= _CHOLQR_MIN_NB:
+            a, tau, T = _panel_cholqr(a, tau, k0, w, m)
+        else:
+            a, tau = _panel_qr(a, tau, k0, w, m)
         if k0 + w >= N:
             k0 += w
             continue
@@ -162,8 +286,9 @@ def _qr_packed(a: jax.Array, m: int, n: int, nb: int
         c2 = jax.lax.broadcasted_iota(jnp.int32, sl.shape, 1)
         V = jnp.where(r2 > c2, sl, jnp.zeros_like(sl))
         V = jnp.where(r2 == c2, jnp.ones((), a.dtype), V)
-        t = jax.lax.dynamic_slice(tau, (k0,), (w,))
-        T = build_wy_T(V, t)
+        if T is None:
+            t = jax.lax.dynamic_slice(tau, (k0,), (w,))
+            T = build_wy_T(V, t)
         Asub = a[k0:, k0 + w:]
         upd = apply_block_reflector(V, T, Asub, adjoint=True,
                                     precision=hot_precision(a.dtype))
@@ -178,10 +303,12 @@ def QR(A: DistMatrix, blocksize: Optional[int] = None) -> QRFactorization:
     Am = A.redistribute(MC, MR)
     nb = blocksize or Blocksize()
     if blocksize is None and A.grid.size == 1 and min(A.m, A.n) >= 2048:
-        # v5e measurement (PERF.md): 8192 f32 43.8 ms at nb=256 vs
-        # 49.8 ms at nb=128 (geqrf panels are cheap; per-panel fixed
-        # costs favour wider blocks on one chip)
-        nb = max(nb, 256)
+        # v5e measurements (PERF.md): 8192 f32 43.8 ms at nb=256 vs
+        # 49.8 ms at nb=128; with cholqr panels the 16384 knee moves to
+        # nb=512 (146.4 ms vs 168.9 at 256 — scratch/ab_qr3.py)
+        nb = max(nb, 512 if (min(A.m, A.n) >= 8192
+                             and _use_cholqr_panels(Am.dtype, 512))
+                 else 256)
     a, tau = _qr_packed(Am.data, A.m, A.n, nb)
     return QRFactorization(Am.with_data(Am.mask_padding(a)), tau)
 

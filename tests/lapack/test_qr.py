@@ -154,3 +154,35 @@ def test_panel_fallbacks_match_xla(grid, rng):
                                np.asarray(a_xla)[:, :32],
                                rtol=1e-12, atol=1e-12)
     np.testing.assert_array_equal(np.asarray(perm), np.asarray(perm_x))
+
+
+def test_cholqr_panels_f32(grid, rng):
+    """The CholeskyQR2+reconstruction panel path (f32, nb >= 192) must
+    deliver f32-grade residuals/orthogonality, including on a graded
+    matrix whose square-ish corner panels exercise the geqrf fallback
+    predicate (scratch/ab_qr3.py is the perf A/B; this is the
+    correctness gate)."""
+    import jax.numpy as jnp
+    from elementalx.lapack.qr import _use_cholqr_panels
+
+    assert _use_cholqr_panels(jnp.float32, 256)
+    assert not _use_cholqr_panels(jnp.float64, 256)
+    assert not _use_cholqr_panels(jnp.float32, 64)
+
+    n = 1024
+    eps = np.finfo(np.float32).eps
+    for tag, a in [
+        ("gauss", rng.standard_normal((n, n))),
+        ("tall", rng.standard_normal((n + 512, 640))),
+        ("graded", rng.standard_normal((n, n))
+         * np.logspace(0, -7, n)[None, :]),
+    ]:
+        a = a.astype(np.float32)
+        A = DistMatrix.from_global(a, grid=grid)
+        Q, R = ExplicitQR(A, blocksize=256)
+        q, r = Q.global_array(), R.global_array()
+        k = q.shape[1]
+        orth = np.linalg.norm(np.eye(k) - q.T @ q)
+        recon = np.linalg.norm(a - q @ r) / np.linalg.norm(a)
+        assert orth < 100 * eps * np.sqrt(a.shape[0] * k), (tag, orth)
+        assert recon < 100 * eps * np.sqrt(a.size) ** 0.5, (tag, recon)
