@@ -4,7 +4,15 @@ Reference: src/lapack_like/spectral/Polar.cpp (+ Polar/QDWH.hpp): QDWH
 (QR-based dynamically weighted Halley) — the reference's own choice and
 *the* TPU-native spectral primitive: every iteration is one tall QR +
 matmuls, all MXU work, backward stable, <= 6-8 iterations to machine
-precision. Also the engine for the SDC eigensolver/SVD paths."""
+precision. Also the engine for the SDC eigensolver/SVD paths.
+
+TPU refinement: once the Halley weight c drops to <= 100 the iteration
+switches to the Cholesky form (Z = I + c X^H X; X' = (b/c) X +
+(a - b/c) X Z^{-1}) — the Nakatsukasa-Higham variant that replaces the
+stacked (2M, M) QR + reflector apply with a Gram + Cholesky + two
+matmuls; cond(Z) <= 1 + c keeps it backward stable. In practice only
+the first 1-2 iterations (wild c from the sigma_min lower bound) take
+the QR path."""
 
 from __future__ import annotations
 
@@ -64,18 +72,48 @@ def qdwh(a: jax.Array, m: int, nb: int = 128, max_its: int = 10,
     def body(carry):
         X, l, k = carry
         aa, bb, cc = _qdwh_params(jnp.maximum(l, eps))
-        sc = jnp.sqrt(cc).astype(a.dtype)
-        # QR of the stacked [sqrt(c) X; I]; the zero padding of X makes
-        # the corresponding Q1 rows/cols zero, so padding stays zero.
-        stacked = jnp.concatenate([sc * X, eyeM], axis=0)
-        packed, tau = _qr_packed(stacked, 2 * M, M, nb)
-        Q = ApplyPackedReflectors(packed, tau,
-                                  jnp.eye(2 * M, M, dtype=a.dtype),
-                                  nb, M, adjoint=False)
-        Q1, Q2 = Q[:M], Q[M:]
-        coef = ((aa - bb / cc) / jnp.sqrt(cc)).astype(a.dtype)
-        X = (bb / cc).astype(a.dtype) * X + coef * local_gemm(
-            Q1, jnp.conj(Q2.T))
+
+        def qr_it(X):
+            sc = jnp.sqrt(cc).astype(a.dtype)
+            # QR of the stacked [sqrt(c) X; I]; the zero padding of X
+            # makes the corresponding Q1 rows/cols zero, so padding
+            # stays zero.
+            stacked = jnp.concatenate([sc * X, eyeM], axis=0)
+            packed, tau = _qr_packed(stacked, 2 * M, M, nb)
+            Q = ApplyPackedReflectors(packed, tau,
+                                      jnp.eye(2 * M, M, dtype=a.dtype),
+                                      nb, M, adjoint=False)
+            Q1, Q2 = Q[:M], Q[M:]
+            coef = ((aa - bb / cc) / jnp.sqrt(cc)).astype(a.dtype)
+            return (bb / cc).astype(a.dtype) * X + coef * local_gemm(
+                Q1, jnp.conj(Q2.T))
+
+        def chol_it(X):
+            # Cholesky-based iteration (Nakatsukasa-Higham: valid and
+            # backward stable once c is modest, cond(Z) <= 1 + c):
+            #   Z = I + c X^H X = L L^H,
+            #   X Z^{-1} = (X L^{-H}) L^{-1},
+            #   X' = (b/c) X + (a - b/c) X Z^{-1}.
+            # Pure MXU work (Gram + chol + batched log-depth trinv +
+            # two matmuls) — ~3x fewer flops than the stacked-QR
+            # iteration and no tall reflector apply. The padding rows
+            # of X are zero, so Z has an exact identity padding block
+            # and the trinv/padding invariants hold.
+            from ..blas.trinv import tri_inv_lower
+
+            low = a.dtype in (jnp.bfloat16, jnp.float16)
+            zdt = jnp.float32 if low else a.dtype
+            Xz = X.astype(zdt)
+            Z = jnp.eye(M, dtype=zdt) + cc.astype(zdt) * local_gemm(
+                jnp.conj(Xz.T), Xz)
+            L = jax.lax.linalg.cholesky(Z, symmetrize_input=False)
+            Linv = tri_inv_lower(L)
+            XZi = local_gemm(local_gemm(Xz, jnp.conj(Linv.T)), Linv)
+            out = (bb / cc).astype(zdt) * Xz \
+                + (aa - bb / cc).astype(zdt) * XZi
+            return out.astype(a.dtype)
+
+        X = jax.lax.cond(cc <= 100.0, chol_it, qr_it, X)
         l = l * (aa + bb * l * l) / (1.0 + cc * l * l)
         return X, jnp.minimum(l, 1.0), k + 1
 
