@@ -44,7 +44,7 @@ import functools
 
 
 @functools.partial(jax.jit, static_argnames=("m", "nb", "max_its"))
-def qdwh(a: jax.Array, m: int, nb: int = 128, max_its: int = 10,
+def qdwh(a: jax.Array, m: int, nb: Optional[int] = None, max_its: int = 10,
          l0: Optional[jax.Array] = None) -> jax.Array:
     """Unitary polar factor of the (padded, square with identity padding
     handled by caller) array ``a`` whose logical size is m.
@@ -55,6 +55,12 @@ def qdwh(a: jax.Array, m: int, nb: int = 128, max_its: int = 10,
     jitted as one while_loop with the convergence test (lower bound l
     reaching 1) in-graph."""
     M = a.shape[0]
+    if nb is None:
+        from .qr import _use_cholqr_panels
+
+        # measured (v5e, Polar 4096 f32): nb=256 94.5 ms vs nb=128
+        # 116.6 — the cholqr panels make wider QR-iteration blocks win
+        nb = 256 if _use_cholqr_panels(a.dtype, 256) else 128
     rdt = jnp.real(a).dtype
     eps = jnp.finfo(rdt).eps
     # scale so ||X||_2 <= 1 (Frobenius bound)
@@ -122,7 +128,8 @@ def qdwh(a: jax.Array, m: int, nb: int = 128, max_its: int = 10,
     return X
 
 
-def Polar(A: DistMatrix, nb: int = 128) -> Tuple[DistMatrix, DistMatrix]:
+def Polar(A: DistMatrix, nb: Optional[int] = None
+          ) -> Tuple[DistMatrix, DistMatrix]:
     """A = U P with U unitary (logical block) and P Hermitian PSD
     (reference: Polar.cpp). Square A."""
     if A.m != A.n:
@@ -136,7 +143,7 @@ def Polar(A: DistMatrix, nb: int = 128) -> Tuple[DistMatrix, DistMatrix]:
     return Udm, P.with_data(Pd)
 
 
-def HermitianPolar(uplo, A: DistMatrix, nb: int = 128
+def HermitianPolar(uplo, A: DistMatrix, nb: Optional[int] = None
                    ) -> Tuple[DistMatrix, DistMatrix]:
     """Polar of a Hermitian matrix = matrix sign pairing
     (reference: Polar.cpp hermitian path)."""

@@ -27,7 +27,7 @@ from .hermitian_eig import HermitianEig
 from .polar import Polar
 
 
-def _qdwh_svd_square(A: DistMatrix, nb: int = 128):
+def _qdwh_svd_square(A: DistMatrix, nb=None):
     U_p, H = Polar(A, nb=nb)
     w, Q = HermitianEig(LOWER, H, vectors=True)
     # ascending -> descending
@@ -40,7 +40,7 @@ def _qdwh_svd_square(A: DistMatrix, nb: int = 128):
     return U, s, Qd
 
 
-def SVD(A: DistMatrix, alg: str = "qdwh", nb: int = 128
+def SVD(A: DistMatrix, alg: str = "qdwh", nb=None
         ) -> Tuple[DistMatrix, jax.Array, DistMatrix]:
     """A = U diag(s) V^H, s descending; U is m x min(m,n), V n x min(m,n)
     (reference: SVD.cpp driver; Chan's algorithm QR-reduces tall inputs
@@ -57,7 +57,7 @@ def SVD(A: DistMatrix, alg: str = "qdwh", nb: int = 128
         # Chan reduction: A = Q R, then SVD of the square R
         from .qr import ExplicitQR
 
-        Q, R = ExplicitQR(A, blocksize=nb)
+        Q, R = ExplicitQR(A, blocksize=nb)  # None -> driver default
         Ur, s, V = _qdwh_svd_square(R.redistribute(MC, MR), nb=nb)
         U = Gemm(NORMAL, NORMAL, 1.0, Q, Ur)
         return U, s, V
