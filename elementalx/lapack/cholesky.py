@@ -139,17 +139,25 @@ def _chol_lower_left(a: jax.Array, nb: int, precision=None,
     left-looking variant) on MXU-sized panels."""
     M = a.shape[0]
     sdt = store or a.dtype
+    # ``a`` may arrive in the low-precision STORAGE dtype: panels are
+    # upcast to the f32 carrier slice-by-slice (the old whole-matrix
+    # astype cost ~2 ms of HBM at N=16384 bf16 and doubled every panel
+    # read; the MXU truncates DEFAULT-precision operands to bf16 either
+    # way, so accumulating pan - hist@row^H in f32 per slice is
+    # numerically identical to the f32-carrier whole-matrix scheme).
+    low = a.dtype in (jnp.bfloat16, jnp.float16)
+    cdt = jnp.float32 if low else a.dtype
     Lbuf = jnp.zeros((M, M), sdt)
     for k0 in range(0, M, nb):
         w = min(nb, M - k0)
-        pan = a[k0:, k0:k0 + w]
+        pan = a[k0:, k0:k0 + w].astype(cdt)
         if k0 > 0:
             hist = Lbuf[k0:, :k0]
             row = Lbuf[k0:k0 + w, :k0]
             pan = pan - jnp.matmul(hist, jnp.conj(row.T),
                                    precision=precision,
-                                   preferred_element_type=a.dtype)
-        a11 = pan[:w].astype(a.dtype)
+                                   preferred_element_type=cdt)
+        a11 = pan[:w]
         l11 = jax.lax.linalg.cholesky(a11, symmetrize_input=False)
         blk = l11.astype(sdt)
         if k0 + w < M:
@@ -158,7 +166,7 @@ def _chol_lower_left(a: jax.Array, nb: int, precision=None,
             inv11 = tri_inv_lower(l11)
             l21 = jnp.matmul(pan[w:], jnp.conj(inv11.T).astype(pan.dtype),
                              precision=precision,
-                             preferred_element_type=a.dtype)
+                             preferred_element_type=cdt)
             blk = jnp.concatenate([blk, l21.astype(sdt)], axis=0)
         Lbuf = jax.lax.dynamic_update_slice(Lbuf, blk, (k0, k0))
     return Lbuf
@@ -233,7 +241,10 @@ def _cholesky_jit(uplo: UpperOrLower, A: DistMatrix,
     store = A.dtype if low else None
     if low:
         prec = jax.lax.Precision.DEFAULT
-        d = d.astype(jnp.float32)
+        if not single:
+            # the recursive multi-grid form still wants the f32 carrier
+            # up front; the left-looking loop upcasts slice-by-slice
+            d = d.astype(jnp.float32)
     elif d.dtype in (jnp.float32, jnp.complex64):
         # f32 carriers: 3-pass bf16x3 panel/update matmuls (~f32-grade
         # operand splitting; measured 1.64x over the library-default
