@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.dmatrix import DistMatrix, check_same_grid
+from ..core.environment import Blocksize
 from ..core.types import (
     ADJOINT,
     LEFT,
@@ -269,21 +270,21 @@ def MultiShiftTrsm(side: LeftOrRight, uplo: UpperOrLower,
         Td, lower = jnp.conj(Td.T), not lower
     Bd = B.replicated() * jnp.asarray(alpha, B.dtype)
     M = Td.shape[0]
-    i = jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
-    diag = i == j
-    pad_one = diag & (i >= m)
     sh = jnp.asarray(shifts).astype(Td.dtype)
     nshift = sh.shape[0]
 
-    def solve_col(shift, b):
-        Ts = jnp.where(diag, Td - shift, Td)
-        Ts = jnp.where(pad_one, jnp.ones((), Td.dtype), Ts)
-        return jax.lax.linalg.triangular_solve(
-            Ts, b[:, None], left_side=True, lower=lower)[:, 0]
+    # blocked multi-shift sweep (MultiShiftTrsm.cpp's memory profile:
+    # per window only an (nshift, nb, nb) shifted-diagonal batch)
+    from .multishift import ms_blocked_upper
+    from .quasi import _flip_idx
 
-    cols = jax.vmap(solve_col, in_axes=(0, 1), out_axes=1)(
-        sh, Bd[:, : nshift])
+    rhs = Bd[:, :nshift]
+    if lower:
+        fl = _flip_idx(M, m)
+        cols = ms_blocked_upper(Td[fl][:, fl], sh, rhs[fl],
+                                Blocksize(), mrows=m)[fl]
+    else:
+        cols = ms_blocked_upper(Td, sh, rhs, Blocksize(), mrows=m)
     out = Bd.at[:, : nshift].set(cols)
     return DistMatrix.from_padded(out, B.m, B.n, MC, MR, B.grid, B.wrap)
 

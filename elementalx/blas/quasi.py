@@ -234,28 +234,18 @@ def MultiShiftQuasiTrsm(side: LeftOrRight, uplo: UpperOrLower,
     Bd = B.replicated() * jnp.asarray(alpha, B.dtype)
     sh = jnp.asarray(shifts).astype(Td.dtype)
     nshift = sh.shape[0]
-    eyeM = jnp.eye(M, dtype=Td.dtype)
 
     fl = _flip_idx(M, m)
     Tq0 = Td[fl][:, fl] if lower else Td
 
-    def solve_col(shift, b):
-        Tq = _prep_quasi(Tq0 - shift * eyeM, m, M)
-        c, s, R = _quasi_factor(Tq)
-        if not transpose:
-            y = rot_rows(c, s, b[:, None])
-            x = jax.lax.linalg.triangular_solve(
-                R, y, left_side=True, lower=False)[:, 0]
-        else:
-            y = jax.lax.linalg.triangular_solve(
-                R.T, b[:, None], left_side=True, lower=True)
-            x = rot_rows_inv(c, s, y)[:, 0]
-        return x
-
     cols = Bd[:, :nshift]
     if lower:
         cols = cols[fl, :]
-    X = jax.vmap(solve_col, in_axes=(0, 1), out_axes=1)(sh, cols)
+    # blocked backward-substitution engine (O(nshift * nb^2) transient
+    # memory instead of a full (M, M) matrix per shift)
+    from .multishift import ms_quasi_upper
+
+    X = ms_quasi_upper(Tq0, m, sh, cols, Blocksize(), transpose)
     if lower:
         X = X[fl, :]
     out = Bd.at[:, :nshift].set(X)
@@ -299,10 +289,6 @@ def SafeMultiShiftTrsm(side: LeftOrRight, uplo: UpperOrLower,
     Bd = B.replicated() * jnp.asarray(alpha, B.dtype)
     sh = jnp.asarray(shifts).astype(Td.dtype)
     nshift = sh.shape[0]
-    i = jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
-    j2 = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
-    diag = i == j2
-    pad_one = diag & (i >= m)
     # near-singularity floor: smin ~ eps * |T|_max
     rdt = jnp.finfo(Td.dtype)
     tmax = jnp.maximum(jnp.max(jnp.abs(Td)), 1.0)
@@ -311,24 +297,19 @@ def SafeMultiShiftTrsm(side: LeftOrRight, uplo: UpperOrLower,
     cols = Bd[:, :nshift]
     bnorm = jnp.max(jnp.abs(cols), axis=0)
     scales = jnp.where(bnorm > 0, 1.0 / jnp.maximum(bnorm, rdt.tiny), 1.0)
+    rhs = cols * scales.astype(Bd.dtype)[None, :]
 
-    def solve_col(shift, b, sc):
-        Ts = jnp.where(diag, Td - shift, Td)
-        Ts = jnp.where(pad_one, jnp.ones((), Td.dtype), Ts)
-        # regularise the shifted diagonal away from zero
-        dg = jnp.diagonal(Ts)
-        mag = jnp.abs(dg)
-        bump = jnp.where(mag < smin,
-                         (smin - mag) * jnp.where(
-                             mag > 0, dg / jnp.where(mag > 0, mag, 1),
-                             jnp.ones((), Ts.dtype)),
-                         jnp.zeros((), Ts.dtype))
-        Ts = jnp.where(diag, Ts + jnp.diag(bump), Ts)
-        return jax.lax.linalg.triangular_solve(
-            Ts, (b * sc)[:, None], left_side=True, lower=lower)[:, 0]
+    # blocked engine (upper core; lower forms flip): per window only an
+    # (nshift, nb, nb) shifted-diagonal batch is materialized
+    from .multishift import ms_blocked_upper
 
-    X = jax.vmap(solve_col, in_axes=(0, 1, 0), out_axes=1)(
-        sh, cols, scales.astype(Bd.dtype))
+    if lower:
+        fl = _flip_idx(M, m)
+        Tu = Td[fl][:, fl]
+        X = ms_blocked_upper(Tu, sh, rhs[fl], Blocksize(), smin=smin,
+                             mrows=m)[fl]
+    else:
+        X = ms_blocked_upper(Td, sh, rhs, Blocksize(), smin=smin, mrows=m)
     out = Bd.at[:, :nshift].set(X)
     Xdm = DistMatrix.from_padded(out, B.m, B.n, MC, MR, B.grid, B.wrap)
     return Xdm, scales
@@ -360,7 +341,6 @@ def SafeMultiShiftQuasiTrsm(side: LeftOrRight, uplo: UpperOrLower,
     rdt = jnp.finfo(Td.dtype)
     tmax = jnp.maximum(jnp.max(jnp.abs(Td)), 1.0)
     smin = rdt.eps * tmax
-    eyeM = jnp.eye(M, dtype=Td.dtype)
     fl = _flip_idx(M, m)
     Tq0 = Td[fl][:, fl] if lower else Td
 
@@ -369,32 +349,13 @@ def SafeMultiShiftQuasiTrsm(side: LeftOrRight, uplo: UpperOrLower,
         cols = cols[fl, :]
     bnorm = jnp.max(jnp.abs(cols), axis=0)
     scales = jnp.where(bnorm > 0, 1.0 / jnp.maximum(bnorm, rdt.tiny), 1.0)
+    rhs = cols * scales.astype(Bd.dtype)[None, :]
 
-    def solve_col(shift, b, sc):
-        Tq = _prep_quasi(Tq0 - shift * eyeM, m, M)
-        c, s, R = _quasi_factor(Tq)
-        # regularise R's diagonal (the G-elimination concentrates any
-        # near-singularity there)
-        dg = jnp.diagonal(R)
-        mag = jnp.abs(dg)
-        sgn = jnp.where(mag > 0, dg / jnp.where(mag > 0, mag, 1),
-                        jnp.ones((), R.dtype))
-        bump = jnp.where(mag < smin, (smin - mag) * sgn,
-                         jnp.zeros((), R.dtype))
-        R = R + jnp.diag(bump)
-        bs = (b * sc)[:, None]
-        if not transpose:
-            y = rot_rows(c, s, bs)
-            x = jax.lax.linalg.triangular_solve(
-                R, y, left_side=True, lower=False)[:, 0]
-        else:
-            y = jax.lax.linalg.triangular_solve(
-                R.T, bs, left_side=True, lower=True)
-            x = rot_rows_inv(c, s, y)[:, 0]
-        return x
+    # blocked engine: the R-diagonal floor is applied per window (the
+    # G-elimination concentrates any near-singularity on R's diagonal)
+    from .multishift import ms_quasi_upper
 
-    X = jax.vmap(solve_col, in_axes=(0, 1, 0), out_axes=1)(
-        sh, cols, scales.astype(Bd.dtype))
+    X = ms_quasi_upper(Tq0, m, sh, rhs, Blocksize(), transpose, smin=smin)
     if lower:
         X = X[fl, :]
     out = Bd.at[:, :nshift].set(X)

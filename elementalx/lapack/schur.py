@@ -642,31 +642,25 @@ def _schur_sdc(A: DistMatrix, want_vecs: bool, min_block: int = 32,
     return SchurDecomposition(Tdm, Zdm, jnp.diagonal(T))
 
 
-def TriangEig(T: DistMatrix) -> DistMatrix:
-    """Eigenvectors of an upper triangular matrix via batched shifted
-    triangular solves (reference: spectral/TriangEig.cpp, which uses
-    MultiShiftTrsm). Column j solves rows<j of (T - t_jj) x = 0 with
-    x_j = 1."""
+def TriangEig(T: DistMatrix, blocksize: int = 128) -> DistMatrix:
+    """Eigenvectors of an upper triangular matrix via the BLOCKED
+    multi-shift backward substitution (reference: spectral/TriangEig.cpp
+    on MultiShiftTrsm.cpp's blocked sweep). Column j solves rows<j of
+    (T - t_jj) x = 0 with x_j = 1; per window only an
+    (n, nb, nb) shifted-diagonal batch is transient — O(n^2) memory
+    total, where the round-2 vmapped form was O(n^3)."""
+    from ..blas.multishift import ms_blocked_upper
+
     n = T.m
-    Td = T.replicated()[:n, :n]
-    lam = jnp.diagonal(Td)
-    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    j2 = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-
-    def one(jdx):
-        shift = lam[jdx]
-        rows_before = i < jdx
-        # M = rows<j ? (T - shift I) : I  — upper triangular, nonsingular
-        Mfull = jnp.where(rows_before[:, 0:1],
-                          Td - shift * jnp.eye(n, dtype=Td.dtype),
-                          jnp.eye(n, dtype=Td.dtype))
-        b = (i[:, 0] == jdx).astype(Td.dtype)
-        x = jax.lax.linalg.triangular_solve(
-            Mfull, b[:, None], left_side=True, lower=False)[:, 0]
-        nx = jnp.sqrt(jnp.sum(jnp.abs(x) ** 2))
-        return x / jnp.where(nx == 0, 1, nx)
-
-    X = jax.vmap(one, out_axes=1)(jnp.arange(n))
+    Td = T.replicated()
+    M = Td.shape[0]
+    lam = jnp.diagonal(Td)[:n]
+    idx = jnp.arange(n)
+    B0 = jnp.zeros((M, n), Td.dtype).at[idx, idx].set(1)
+    X = ms_blocked_upper(Td, lam, B0, blocksize,
+                         row_limit=idx, mrows=n)[:n, :]
+    nx = jnp.sqrt(jnp.sum(jnp.abs(X) ** 2, axis=0))
+    X = X / jnp.where(nx == 0, 1, nx)[None, :]
     return DistMatrix.from_global(X, MC, MR, T.grid)
 
 
@@ -689,7 +683,6 @@ def QuasiTriangEig(T: DistMatrix, split: bool = False):
                     X.with_data(jnp.imag(X.data)))
         return X
     from .schur_real import block_starts, quasi_eigvals
-    from ..blas.quasi import _quasi_factor, rot_rows
 
     Th = np.asarray(jax.device_get(Td)).astype(np.float64)
     wr, wi = quasi_eigvals(Th)
@@ -720,20 +713,17 @@ def QuasiTriangEig(T: DistMatrix, split: bool = False):
     lam_j = jnp.asarray(lam).astype(cdt)
     cuts_j = jnp.asarray(cuts)
     B_j = jnp.asarray(B).astype(cdt)
-    rows = jnp.arange(n)
-    eye = jnp.eye(n, dtype=cdt)
+    # blocked multi-shift engine: the shifted matrices share T's quasi
+    # band, so the window sweep batches every eigenvalue at O(n * nb^2)
+    # transient memory (was a vmapped full (n, n) matrix per eigenvalue)
+    from ..blas.multishift import ms_blocked_upper
+    from ..blas.quasi import _prep_quasi
 
-    def one(lam1, cut, b):
-        before = (rows < cut)[:, None]
-        M = jnp.where(before, Tc - lam1 * eye, eye)
-        c, s, R = _quasi_factor(M)
-        y = rot_rows(c, s, b[:, None])
-        x = jax.lax.linalg.triangular_solve(
-            R, y, left_side=True, lower=False)[:, 0]
-        nx = jnp.sqrt(jnp.sum(jnp.abs(x) ** 2))
-        return x / jnp.where(nx == 0, 1, nx)
-
-    X = jax.vmap(one, in_axes=(0, 0, 1), out_axes=1)(lam_j, cuts_j, B_j)
+    Tq = _prep_quasi(Tc, n, n)
+    X = ms_blocked_upper(Tq, lam_j, B_j, 128, quasi=True,
+                         row_limit=cuts_j, mrows=n)
+    nx = jnp.sqrt(jnp.sum(jnp.abs(X) ** 2, axis=0))
+    X = X / jnp.where(nx == 0, 1, nx)[None, :]
     if split:
         XR = DistMatrix.from_global(jnp.real(X).astype(Td.dtype), MC, MR,
                                     T.grid)
