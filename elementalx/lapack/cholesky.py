@@ -172,6 +172,56 @@ def _chol_lower_left(a: jax.Array, nb: int, precision=None,
     return Lbuf
 
 
+def _chol_lower_left2(a: jax.Array, outer: int, inner: int,
+                      precision=None, store=None) -> jax.Array:
+    """TWO-LEVEL left-looking blocked lower Cholesky (pad diagonal 1).
+    The flat left-looking loop's history product runs (M-k0) x k0 x nb
+    gemms — at nb=512 those sit at ~110-140 TF/s on the MXU and re-read
+    the factor once per panel. Applying the history at OUTER width
+    (2048: near-peak single-pass gemms, 1/4 the Lbuf re-reads) and
+    factoring the outer panel with an inner left-looking loop confined
+    to it measured 16.2 -> 13.2 ms at N=16384 bf16 (110.8 TF/s,
+    scratch/ab_chol5.py). f32 (3-pass HIGH updates) prefers the flat
+    scheme — this path is used for low-precision storage only."""
+    M = a.shape[0]
+    sdt = store or a.dtype
+    low = a.dtype in (jnp.bfloat16, jnp.float16)
+    cdt = jnp.float32 if low else a.dtype
+    from ..blas.trinv import tri_inv_lower
+
+    Lbuf = jnp.zeros((M, M), sdt)
+    for K0 in range(0, M, outer):
+        W = min(outer, M - K0)
+        pan = a[K0:, K0:K0 + W].astype(cdt)
+        if K0 > 0:
+            hist = Lbuf[K0:, :K0]
+            row = Lbuf[K0:K0 + W, :K0]
+            pan = pan - jnp.matmul(hist, jnp.conj(row.T),
+                                   precision=precision,
+                                   preferred_element_type=cdt)
+        pblk = jnp.zeros((M - K0, W), sdt)
+        for j0 in range(0, W, inner):
+            w = min(inner, W - j0)
+            sub = pan[j0:, j0:j0 + w]
+            if j0 > 0:
+                ih = pblk[j0:, :j0]
+                ir = pblk[j0:j0 + w, :j0]
+                sub = sub - jnp.matmul(ih, jnp.conj(ir.T),
+                                       precision=precision,
+                                       preferred_element_type=cdt)
+            l11 = jax.lax.linalg.cholesky(sub[:w], symmetrize_input=False)
+            blk = l11.astype(sdt)
+            if K0 + j0 + w < M:
+                inv11 = tri_inv_lower(l11)
+                l21 = jnp.matmul(sub[w:], jnp.conj(inv11.T),
+                                 precision=precision,
+                                 preferred_element_type=cdt)
+                blk = jnp.concatenate([blk, l21.astype(sdt)], axis=0)
+            pblk = jax.lax.dynamic_update_slice(pblk, blk, (j0, j0))
+        Lbuf = jax.lax.dynamic_update_slice(Lbuf, pblk, (K0, K0))
+    return Lbuf
+
+
 def _prep_hpd(A: DistMatrix, uplo: UpperOrLower) -> jax.Array:
     """Full Hermitian data with identity on the padding diagonal."""
     Af = MakeHermitian(uplo, A.redistribute(MC, MR))
@@ -253,11 +303,18 @@ def _cholesky_jit(uplo: UpperOrLower, A: DistMatrix,
     else:
         prec = None
     if single:
-        # single chip: left-looking panel scheme (n^3/3 flops, no
-        # concatenate tree — measured fastest; scratch/ab_chol2.py).
-        # Multi-grid keeps the recursive form whose full-size matmuls
-        # GSPMD shards well (HLO-verified in tests/core/test_collectives)
-        L = _chol_lower_left(d, nb, prec, store)
+        # single chip: left-looking panel schemes (n^3/3 flops, no
+        # concatenate tree — measured fastest; scratch/ab_chol2/5.py).
+        # bf16 storage at large N wants the TWO-LEVEL form (outer-width
+        # history gemms near MXU peak: 16384 16.2 -> 13.2 ms); f32's
+        # 3-pass HIGH updates prefer the flat loop. Multi-grid keeps the
+        # recursive form whose full-size matmuls GSPMD shards well
+        # (HLO-verified in tests/core/test_collectives).
+        if (low_store and blocksize is None
+                and d.shape[0] >= 12288 and d.shape[0] % 2048 == 0):
+            L = _chol_lower_left2(d, 2048, 512, prec, store)
+        else:
+            L = _chol_lower_left(d, nb, prec, store)
     else:
         L = _chol_lower_rec(d, nb, prec, store)
     # the factor is already lower-trapezoidal by construction (XLA's

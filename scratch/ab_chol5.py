@@ -1,13 +1,11 @@
-"""A/B: TWO-LEVEL left-looking Cholesky at 16384 (bf16 + f32).
+"""A/B: TWO-LEVEL left-looking Cholesky at 16384 (bf16 + f32), with the
+SAME f32-carrier discipline as the committed flat scheme
+(cholesky._chol_lower_left): slice-wise upcast of panels, f32
+accumulation, f32 base cholesky/trinv, storage-dtype factor buffer.
 
-Current left-looking (nb=512) is at 78.8 TF/s bf16: the history product
-(M-k0) x k0 x 512 runs ~110-140 TF/s (N=512 is narrow for the MXU) and
-the 32 sequential chol+trinv+l21 tails add ~3-6 ms. Two-level: apply
-the history at OUTER width (2048/4096 — wide-N gemms near peak, and
-1/4 the Lbuf operand re-reads), then factor the outer panel with the
-inner left-looking loop (inner history confined to the outer panel).
-
-Run from repo root: python -u scratch/ab_chol5.py
+The first (unfaithful) version of this script accumulated in bf16 and
+ran XLA's cholesky on bf16 — 32-45 TF/s, not a valid A/B. Run:
+    python -u scratch/ab_chol5.py
 """
 
 import os
@@ -23,26 +21,28 @@ if os.environ.get("FORCE_CPU"):
     jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
-import elementalx as El
-from elementalx import DistMatrix
 from elementalx.blas.trinv import tri_inv_lower
 
 
 def chol_left2(a, outer, inner, store=None, precision=None):
-    """Two-level left-looking lower Cholesky (pad diagonal must be 1)."""
+    """Two-level left-looking lower Cholesky (pad diagonal must be 1).
+    ``a`` may be in the storage dtype; carriers are f32."""
     M = a.shape[0]
     sdt = store or a.dtype
+    low = a.dtype in (jnp.bfloat16, jnp.float16)
+    cdt = jnp.float32 if low else a.dtype
     Lbuf = jnp.zeros((M, M), sdt)
     for K0 in range(0, M, outer):
         W = min(outer, M - K0)
-        pan = a[K0:, K0:K0 + W]
+        pan = a[K0:, K0:K0 + W].astype(cdt)
         if K0 > 0:
             hist = Lbuf[K0:, :K0]
             row = Lbuf[K0:K0 + W, :K0]
             pan = pan - jnp.matmul(hist, jnp.conj(row.T),
                                    precision=precision,
-                                   preferred_element_type=a.dtype)
-        # inner left-looking within the outer panel
+                                   preferred_element_type=cdt)
+        # inner left-looking within the outer panel: carrier-dtype panel
+        # with storage-dtype factor block buffer
         pblk = jnp.zeros((M - K0, W), sdt)
         for j0 in range(0, W, inner):
             w = min(inner, W - j0)
@@ -52,16 +52,15 @@ def chol_left2(a, outer, inner, store=None, precision=None):
                 ir = pblk[j0:j0 + w, :j0]
                 sub = sub - jnp.matmul(ih, jnp.conj(ir.T),
                                        precision=precision,
-                                       preferred_element_type=a.dtype)
-            a11 = sub[:w].astype(a.dtype)
+                                       preferred_element_type=cdt)
+            a11 = sub[:w]
             l11 = jax.lax.linalg.cholesky(a11, symmetrize_input=False)
             blk = l11.astype(sdt)
             if K0 + j0 + w < M:
                 inv11 = tri_inv_lower(l11)
-                l21 = jnp.matmul(sub[w:],
-                                 jnp.conj(inv11.T).astype(sub.dtype),
+                l21 = jnp.matmul(sub[w:], jnp.conj(inv11.T),
                                  precision=precision,
-                                 preferred_element_type=a.dtype)
+                                 preferred_element_type=cdt)
                 blk = jnp.concatenate([blk, l21.astype(sdt)], axis=0)
             pblk = jax.lax.dynamic_update_slice(pblk, blk, (j0, j0))
         Lbuf = jax.lax.dynamic_update_slice(Lbuf, pblk, (K0, K0))
@@ -111,7 +110,7 @@ def main():
     ]:
         A = jnp.asarray(a, dt)
         tag0 = "bf16" if dt == jnp.bfloat16 else "f32"
-        for outer, inner in [(2048, 512), (4096, 512), (2048, 1024),
+        for outer, inner in [(2048, 512), (4096, 512), (2048, 256),
                              (4096, 1024)]:
             def mk(k, outer=outer, inner=inner, store=store, prec=prec):
                 def f(x):
