@@ -34,6 +34,10 @@ from .matrix import SparseMatrix
 _DEVICE_BUCKET_ELEMS = 1 << 15
 _SN_MAX = 96          # supernode width cap (front panels stay skinny)
 _RELAX = 8            # relaxed amalgamation: absorb tiny child supernodes
+# fronts at least this tall route through the DENSE DistMatrix partial
+# LDL — 2-D distributed over the attached grid (the reference's big-
+# front distribution, ChangeFrontType.hpp); everything below batches
+_DENSE_FRONT_MIN = 768
 
 
 class SupernodalSymbolic(NamedTuple):
@@ -214,6 +218,58 @@ def _factor_bucket_numpy(F: np.ndarray, ns_arr: np.ndarray,
     return F
 
 
+def _factor_front_dense(F1: np.ndarray, ns: int, f: int, grid=None
+                        ) -> np.ndarray:
+    """Partial LDL^T of ONE large front through the dense DistMatrix
+    stack — 2-D block distribution over ``grid`` when attached, so the
+    root-front work of a big 2-D problem is genuinely sharded
+    (reference: ChangeFrontType.hpp's switch to distributed 2-D fronts,
+    numeric/Process.hpp). Eliminates the leading ns columns:
+
+        F11 = L11 D1 L11^T          (dense unpivoted LDL)
+        L21 = F21 L11^{-T} D1^{-1}  (Trsm + diagonal scale)
+        S22 = F22 - L21 D1 L21^T    (Gemm)
+
+    Returns the front in the batched-kernel's packed layout: L panel
+    with D on the leading diagonal in columns [:ns], Schur in
+    [ns:, ns:]."""
+    import jax.numpy as jnp
+
+    from ..core.dmatrix import DistMatrix
+    from ..core.grid import Grid
+    from ..core.types import LOWER, MC, MR, RIGHT, TRANSPOSE, UNIT
+    from ..blas.gemm import Gemm
+    from ..blas.level1 import Transpose as _T
+    from ..blas.trsm import Trsm
+    from ..core.types import NORMAL
+    from ..lapack.ldl import LDL
+
+    g = grid if grid is not None else Grid(1, 1)
+    A11 = DistMatrix.from_global(jnp.asarray(F1[:ns, :ns]), MC, MR, g)
+    F11 = LDL(A11, conjugate=False)
+    pk11 = np.asarray(F11.global_array())
+    d1 = np.diagonal(pk11).copy()
+    out = np.array(F1)
+    out[:ns, :ns] = np.tril(pk11)
+    out[:ns, :ns][np.arange(ns), np.arange(ns)] = d1
+    if f > ns:
+        L1 = F11.with_data(jnp.tril(F11.data, -1)
+                           + jnp.eye(F11.data.shape[0], dtype=F11.dtype))
+        A21 = DistMatrix.from_global(jnp.asarray(F1[ns:f, :ns]), MC, MR, g)
+        X = Trsm(RIGHT, LOWER, TRANSPOSE, UNIT, 1.0, L1, A21)
+        Xh = np.asarray(X.global_array())
+        safe = np.where(d1 == 0, 1.0, d1)
+        L21 = Xh / safe[None, :]
+        LD = DistMatrix.from_global(jnp.asarray(L21 * d1[None, :]), MC,
+                                    MR, g)
+        L21dm = DistMatrix.from_global(jnp.asarray(L21), MC, MR, g)
+        upd = np.asarray(Gemm(NORMAL, TRANSPOSE, 1.0, LD,
+                              L21dm).global_array())
+        out[ns:f, :ns] = L21
+        out[ns:f, ns:f] = F1[ns:f, ns:f] - upd
+    return out
+
+
 def factor(S: SparseMatrix, ordering: str = "amd", grid=None
            ) -> SupernodalLDLFactorization:
     """Numeric phase: level-scheduled, bucketed, batched fronts."""
@@ -238,42 +294,64 @@ def factor(S: SparseMatrix, ordering: str = "amd", grid=None
 
     colptr, rowind, values = At.colptr, At.rowind, At.values
 
+    pos = np.empty(n, np.int64)  # scratch: global row -> front position
+
+    def _assemble(s: int, fp: int) -> np.ndarray:
+        """Assemble supernode s's (fp, fp) front: vectorized scatter of
+        A's lower-triangle columns (no per-nonzero Python loop) +
+        extend-add of the children's Schur updates."""
+        c0, c1 = int(sym.sn_start[s]), int(sym.sn_start[s + 1])
+        ns = c1 - c0
+        rows_s = sym.sn_rows[s]
+        f = ns + rows_s.shape[0]
+        F1 = np.zeros((fp, fp), dtype)
+        pos[c0:c1] = np.arange(ns)
+        pos[rows_s] = ns + np.arange(rows_s.shape[0])
+        p0, p1 = int(colptr[c0]), int(colptr[c1])
+        rr = rowind[p0:p1]
+        cnt = np.diff(colptr[c0:c1 + 1])
+        cc = np.repeat(np.arange(ns, dtype=np.int64), cnt)
+        keep = rr >= (cc + c0)     # lower triangle only
+        # CSC rows are unique per column => no duplicate (row, col)
+        # pairs, so fancy-indexed += is a complete scatter-add
+        F1[pos[rr[keep]], cc[keep]] += values[p0:p1][keep]
+        for c in children[s]:
+            U = updates[c]
+            if U is None:
+                continue
+            rc = sym.sn_rows[c]
+            wh = pos[rc]
+            F1[np.ix_(wh, wh)] += U
+            updates[c] = None
+        if fp > f:
+            F1[range(f, fp), range(f, fp)] = 1.0
+        return F1
+
+    def _unpack(s: int, Fb: np.ndarray) -> None:
+        c0, c1 = int(sym.sn_start[s]), int(sym.sn_start[s + 1])
+        ns, f = int(sn_ns[s]), int(sn_f[s])
+        panels[s] = Fb[:f, :ns].copy()
+        d[c0:c1] = np.diagonal(Fb)[:ns]
+        updates[s] = Fb[ns:f, ns:f].copy() if f > ns else None
+
     for lev in sym.levels:
-        # bucket supernodes of this level by padded front size
+        # big fronts route through the dense 2-D-distributed partial LDL
+        # (ChangeFrontType.hpp); the rest bucket by padded front size
         buckets: Dict[int, List[int]] = {}
+        dense_sns: List[int] = []
         for s in lev:
-            buckets.setdefault(_pad_up(int(sn_f[s])), []).append(int(s))
+            s = int(s)
+            if int(sn_f[s]) >= _DENSE_FRONT_MIN:
+                dense_sns.append(s)
+            else:
+                buckets.setdefault(_pad_up(int(sn_f[s])), []).append(s)
+        for s in dense_sns:
+            ns, f = int(sn_ns[s]), int(sn_f[s])
+            out = _factor_front_dense(_assemble(s, f), ns, f, grid)
+            _unpack(s, out)
         for fp, sns in buckets.items():
             B = len(sns)
-            F = np.zeros((B, fp, fp), dtype)
-            for b, s in enumerate(sns):
-                c0, c1 = int(sym.sn_start[s]), int(sym.sn_start[s + 1])
-                ns = c1 - c0
-                rows_s = sym.sn_rows[s]
-                # front index: cols c0..c1 at 0..ns, rows_s after
-                pos = np.empty(n, np.int64)  # sparse use only
-                pos[c0:c1] = np.arange(ns)
-                pos[rows_s] = ns + np.arange(rows_s.shape[0])
-                # scatter A columns (lower triangle)
-                for j in range(c0, c1):
-                    jj = j - c0
-                    for p in range(colptr[j], colptr[j + 1]):
-                        i = int(rowind[p])
-                        if i >= j:
-                            F[b, pos[i], jj] += values[p]
-                # extend-add children
-                for c in children[s]:
-                    U = updates[c]
-                    if U is None:
-                        continue
-                    rc = sym.sn_rows[c]
-                    where = pos[rc]
-                    F[b][np.ix_(where, where)] += U
-                    updates[c] = None
-                # padding diagonal
-                f = int(sn_f[s])
-                if fp > f:
-                    F[b, range(f, fp), range(f, fp)] = 1.0
+            F = np.stack([_assemble(s, fp) for s in sns])
             ns_arr = sn_ns[sns]
             f_arr = sn_f[sns]
             if B * fp * fp >= _DEVICE_BUCKET_ELEMS:
@@ -281,50 +359,97 @@ def factor(S: SparseMatrix, ordering: str = "amd", grid=None
             else:
                 F = _factor_bucket_numpy(F, ns_arr, f_arr)
             for b, s in enumerate(sns):
-                c0, c1 = int(sym.sn_start[s]), int(sym.sn_start[s + 1])
-                ns, f = int(sn_ns[s]), int(sn_f[s])
-                panels[s] = F[b, :f, :ns].copy()
-                d[c0:c1] = np.diagonal(F[b])[:ns]
-                updates[s] = F[b, ns:f, ns:f].copy() if f > ns else None
+                _unpack(s, F[b])
 
     return SupernodalLDLFactorization(n, sym.perm, sym, panels, d)
 
 
+def _solve_buckets(sym: SupernodalSymbolic, lev: np.ndarray):
+    """Bucket a level's supernodes by padded (panel width, below-rows)
+    shape for batched triangular sweeps."""
+    buckets: Dict[tuple, List[int]] = {}
+    for s in lev:
+        s = int(s)
+        ns = int(sym.sn_start[s + 1] - sym.sn_start[s])
+        m = int(sym.sn_rows[s].shape[0])
+        key = (_pad_up(ns), _pad_up(m) if m else 0)
+        buckets.setdefault(key, []).append(s)
+    return buckets
+
+
 def solve(fact: SupernodalLDLFactorization, b: np.ndarray) -> np.ndarray:
-    """Blocked triangular sweeps over the supernode forest
-    (reference: numeric/ solve over the etree, now per-panel GEMVs)."""
+    """Triangular sweeps over the supernode forest, BATCHED per level
+    (reference: numeric/ solve over the etree). Each level's supernodes
+    are independent, so the unit-lower panel solves run as one batched
+    ``np.linalg.solve`` per shape bucket and the below-panel updates as
+    one batched matmul + a duplicate-accumulating scatter-add — the
+    round-2 sweep was a sequential per-supernode loop."""
     sym = fact.sym
     b = np.asarray(b)
     squeeze = b.ndim == 1
     if squeeze:
         b = b[:, None]
     x = b[fact.perm, :].astype(np.result_type(fact.d, b), copy=True)
-    nsn = sym.sn_start.shape[0] - 1
-    # forward: postorder = ascending supernode id (postordered labels)
-    for s in range(nsn):
-        c0, c1 = int(sym.sn_start[s]), int(sym.sn_start[s + 1])
-        ns = c1 - c0
-        P = fact.panels[s]
-        L11 = np.tril(P[:ns, :ns], -1) + np.eye(ns, dtype=P.dtype)
-        # unit-lower solve within the panel
-        if ns > 1:
-            x[c0:c1] = np.linalg.solve(L11, x[c0:c1])
-        rows = sym.sn_rows[s]
-        if rows.shape[0]:
-            x[rows] -= P[ns:, :ns] @ x[c0:c1]
+    nrhs = x.shape[1]
+
+    def _batch(sns, nsp, mp):
+        B = len(sns)
+        L11 = np.broadcast_to(np.eye(nsp, dtype=x.dtype),
+                              (B, nsp, nsp)).copy()
+        P21 = np.zeros((B, mp, nsp), x.dtype) if mp else None
+        for i, s in enumerate(sns):
+            ns = int(sym.sn_start[s + 1] - sym.sn_start[s])
+            P = fact.panels[s]
+            L11[i, :ns, :ns] = np.tril(P[:ns, :ns], -1) \
+                + np.eye(ns, dtype=x.dtype)
+            if mp:
+                m = P.shape[0] - ns
+                P21[i, :m, :ns] = P[ns:, :ns]
+        return L11, P21
+
+    # forward sweep, leaves first
+    for lev in sym.levels:
+        for (nsp, mp), sns in _solve_buckets(sym, lev).items():
+            B = len(sns)
+            L11, P21 = _batch(sns, nsp, mp)
+            X1 = np.zeros((B, nsp, nrhs), x.dtype)
+            for i, s in enumerate(sns):
+                c0, c1 = int(sym.sn_start[s]), int(sym.sn_start[s + 1])
+                X1[i, :c1 - c0] = x[c0:c1]
+            Y = np.linalg.solve(L11, X1)
+            for i, s in enumerate(sns):
+                c0, c1 = int(sym.sn_start[s]), int(sym.sn_start[s + 1])
+                x[c0:c1] = Y[i, :c1 - c0]
+            if mp:
+                Z = P21 @ Y                       # (B, mp, nrhs)
+                rows_cat = np.concatenate(
+                    [sym.sn_rows[s] for s in sns])
+                z_cat = np.concatenate(
+                    [Z[i, :sym.sn_rows[s].shape[0]]
+                     for i, s in enumerate(sns)], axis=0)
+                # ancestor rows can repeat across the level's fronts
+                np.subtract.at(x, rows_cat, z_cat)
     # diagonal
     x /= fact.d[:, None]
-    # backward
-    for s in range(nsn - 1, -1, -1):
-        c0, c1 = int(sym.sn_start[s]), int(sym.sn_start[s + 1])
-        ns = c1 - c0
-        P = fact.panels[s]
-        rows = sym.sn_rows[s]
-        if rows.shape[0]:
-            x[c0:c1] -= P[ns:, :ns].T @ x[rows]
-        if ns > 1:
-            L11 = np.tril(P[:ns, :ns], -1) + np.eye(ns, dtype=P.dtype)
-            x[c0:c1] = np.linalg.solve(L11.T, x[c0:c1])
+    # backward sweep, root level first
+    for lev in reversed(sym.levels):
+        for (nsp, mp), sns in _solve_buckets(sym, lev).items():
+            B = len(sns)
+            L11, P21 = _batch(sns, nsp, mp)
+            X1 = np.zeros((B, nsp, nrhs), x.dtype)
+            for i, s in enumerate(sns):
+                c0, c1 = int(sym.sn_start[s]), int(sym.sn_start[s + 1])
+                X1[i, :c1 - c0] = x[c0:c1]
+            if mp:
+                XR = np.zeros((B, mp, nrhs), x.dtype)
+                for i, s in enumerate(sns):
+                    rows = sym.sn_rows[s]
+                    XR[i, :rows.shape[0]] = x[rows]
+                X1 -= np.transpose(P21, (0, 2, 1)) @ XR
+            Y = np.linalg.solve(np.transpose(L11, (0, 2, 1)), X1)
+            for i, s in enumerate(sns):
+                c0, c1 = int(sym.sn_start[s]), int(sym.sn_start[s + 1])
+                x[c0:c1] = Y[i, :c1 - c0]
     out = np.empty_like(x)
     out[fact.perm, :] = x
     return out[:, 0] if squeeze else out
