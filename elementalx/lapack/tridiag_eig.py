@@ -166,20 +166,43 @@ def _solve_shifted(d: jax.Array, e: jax.Array, lam: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=('invit_steps', 'ortho_window', 'ortho_passes'))
-def tridiag_eig(d: jax.Array, e: jax.Array, invit_steps: int = 2,
+def tridiag_eig(d: jax.Array, e: jax.Array, invit_steps: int = 1,
                 ortho_window: int = 8, ortho_passes: int = 2
                 ) -> Tuple[jax.Array, jax.Array]:
     """(w, Z): full eigendecomposition of the symmetric tridiagonal.
 
     Eigenvectors by vmapped inverse iteration from the bisection values,
-    with close-eigenvalue separation perturbation and windowed
-    Gram-Schmidt sweeps for clusters (the role pmrrr's representation
-    trees play; same O(n^2) vector work, batched)."""
+    with close-eigenvalue separation perturbation, cluster-masked
+    CholeskyQR orthonormalization BETWEEN the iteration rounds (block
+    inverse subspace iteration — the role pmrrr's representation trees
+    play; without it a wide cluster's block rank-collapses onto the few
+    directions nearest the shifts), and windowed Gram-Schmidt sweeps for
+    mildly close pairs. ``invit_steps`` is the solve count per round —
+    it must stay 1 so every re-amplification starts from a full-rank
+    orthonormal cluster basis."""
     n = d.shape[0]
     w = tridiag_eigvalsh(d, e)
     eps = jnp.finfo(d.dtype).eps
     tnorm = jnp.maximum(jnp.max(jnp.abs(d)), jnp.max(jnp.abs(e)) if
                         e.shape[0] else 0.0)
+    # ---- SPLITTING (LAPACK dstebz/pmrrr dlarra): zero negligible
+    # couplings BEFORE the eigenvector phase. A glued-Wilkinson chain
+    # (e_glue ~ 1e-14) couples its blocks just enough that the no-pivot
+    # shifted solves develop wildly varying gains (measured 1e15..1e39 at
+    # n=4116): columns sharing a dominant direction rank-collapse the
+    # cluster block beyond what f64 CholeskyQR can recover (components
+    # below eps are invisible to the Gram). Zeroing |e_i| <= K*eps*
+    # sqrt(|d_i d_{i+1}|) decouples the blocks exactly: solve gains
+    # equalize, cross-block vectors get disjoint supports (orthogonality
+    # is automatic), and the residual cost is bounded by the largest
+    # zeroed entry — K*eps*||T||, i.e. O(K/n) in scaled units. The
+    # relative criterion keeps graded matrices safe (a tiny coupling
+    # between tiny diagonals is NOT negligible). Eigenvalues still come
+    # from the unsplit matrix above.
+    if e.shape[0]:
+        dg = jnp.sqrt(jnp.abs(d[:-1]) * jnp.abs(d[1:]))
+        stol = 64 * eps * jnp.maximum(dg, eps * jnp.maximum(tnorm, 1.0))
+        e = jnp.where(jnp.abs(e) <= stol, jnp.zeros((), e.dtype), e)
     # split exact-duplicate targets with a BOUNDED local jitter (a few
     # ulp of ||T||; an unbounded idx-proportional offset would swamp the
     # eigenvalue accuracy in low precision)
@@ -210,6 +233,49 @@ def tridiag_eig(d: jax.Array, e: jax.Array, invit_steps: int = 2,
                                  jnp.zeros((n, 1), Z.dtype)], axis=1))
         return jnp.sum(Z * Td, axis=1)
 
+    # ---- cluster machinery (the role pmrrr's representation tree
+    # plays, external/pmrrr/src/plarrv.c). Sturm bisection cannot
+    # resolve eigenvalues spaced below ~eps*||T|| (glued-Wilkinson
+    # blocks put HUNDREDS within a few ulp), so per-column shifts
+    # inside a cluster all concentrate inverse iteration onto the few
+    # directions nearest them and the block rank-collapses. The fix is
+    # the classical block one: orthogonalize the cluster block BETWEEN
+    # inverse-iteration rounds (block inverse subspace iteration), so
+    # each round re-amplifies a full-rank basis of the subspace.
+    # Clusters are CONTIGUOUS in the ascending bisection order, so the
+    # cluster-masked Gram is block-diagonal (hence PSD) and one masked
+    # CholeskyQR orthonormalizes all clusters at once with three MXU
+    # matmuls. Any orthonormal basis of a cluster subspace is a valid
+    # eigenbasis to residual ~ cluster width (<= ctol = alpha*n*eps*|T|).
+    # ctol: pairs with eigenvalue gap g have invit overlap ~C*eps|T|/g
+    # (C ~ 30 measured on glued Wilkinson at n=4116), so the 32*n*eps
+    # orthogonality bar needs EXPLICIT orthogonalization of every pair
+    # with g <~ 4|T|/n. Including a pair in one QR block costs residual
+    # ~overlap*g ~ eps|T| REGARDLESS of g (the mixing coefficient
+    # shrinks as the gap grows), so a wide ctol is safe.
+    hiprec = jax.lax.Precision.HIGHEST
+    ctol = jnp.maximum(16 * n * eps, 4.0 / n) * jnp.maximum(tnorm, 1.0)
+    newc = jnp.concatenate([jnp.ones((1,), bool), jnp.diff(w) > ctol])
+    cid = jnp.cumsum(newc.astype(jnp.int32))
+    Mcl = cid[:, None] == cid[None, :]
+    from ..blas.trinv import tri_inv_lower
+
+    def cluster_qr(Z, reg):
+        """Masked CholeskyQR: exact orthonormalization inside every
+        (contiguous) cluster block; identity across blocks."""
+        G = jnp.matmul(Z.T, Z, precision=hiprec)
+        Gm = jnp.where(Mcl, G, jnp.zeros((), Z.dtype)) + reg * jnp.eye(
+            n, dtype=Z.dtype)
+        Lc = jnp.linalg.cholesky(Gm)
+        # guard a failed factorization (pathological rank deficiency):
+        # skip the orthonormalization entirely rather than poisoning Z
+        # with an elementwise NaN patch
+        ok = jnp.all(jnp.isfinite(Lc))
+        Lc = jnp.where(ok, Lc, jnp.eye(n, dtype=Z.dtype))
+        return jnp.matmul(Z, tri_inv_lower(Lc).T, precision=hiprec)
+
+    Z = cluster_qr(Z.T, jnp.asarray(16 * n * eps, d.dtype)).T
+
     # second round from Rayleigh-refined shifts: in low precision the
     # bisection values carry O(eps*||T||) error that inverse iteration
     # would otherwise leak into neighbouring eigenvectors
@@ -217,6 +283,8 @@ def tridiag_eig(d: jax.Array, e: jax.Array, invit_steps: int = 2,
     shifts2 = w_r + jitter
     Z = jax.vmap(one_vec)(shifts2, Z)
     Z = Z.T  # columns are eigenvectors
+    Z = cluster_qr(Z, jnp.asarray(16 * n * eps, d.dtype))
+    Z = cluster_qr(Z, jnp.zeros((), d.dtype))
 
     # windowed modified Gram-Schmidt passes to orthogonalise clusters:
     # vectors whose eigenvalues are within the window are near-parallel
@@ -249,11 +317,15 @@ def tridiag_eig(d: jax.Array, e: jax.Array, invit_steps: int = 2,
     for _ in range(ortho_passes):
         Z = mgs_pass(Z)
 
-    # final Rayleigh-quotient refinement of eigenvalues
+    # final Rayleigh-quotient refinement of eigenvalues, clamped to the
+    # bisection bracket (Rayleigh from a mixed/defective vector must
+    # never drag an eigenvalue away from its Sturm-certified location)
     Td = (d[:, None] * Z + jnp.concatenate(
         [jnp.zeros((1, n), Z.dtype), e[:, None] * Z[:-1]]) + jnp.concatenate(
         [e[:, None] * Z[1:], jnp.zeros((1, n), Z.dtype)]))
     w_ref = jnp.sum(Z * Td, axis=0)
+    clamp = 256 * eps * jnp.maximum(tnorm, 1.0)
+    w_ref = jnp.clip(w_ref, w - clamp, w + clamp)
     order = jnp.argsort(w_ref)
     return w_ref[order], Z[:, order]
 

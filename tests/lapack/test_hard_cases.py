@@ -78,3 +78,67 @@ def test_gepp_growth(grid):
     u = np.triu(f)
     pa = a[np.asarray(P.perm)[:24], :]
     assert np.linalg.norm(pa - ell @ u) / np.linalg.norm(a) < 1e-10
+
+
+def _glued_wilkinson_tridiag(nblocks, glue):
+    """Tridiagonal of glued W21 blocks (plarrv.c's torture family):
+    eigenvalue clusters of `nblocks` values agreeing to ~glue."""
+    m = 21
+    dblk = np.abs(np.arange(m) - 10).astype(np.float64)
+    d = np.tile(dblk, nblocks)
+    e = np.concatenate([
+        np.concatenate([np.ones(m - 1), [glue]])
+        for _ in range(nblocks)])[:nblocks * m - 1]
+    return d, e
+
+
+def test_glued_wilkinson_large_clusters(grid):
+    """VERDICT r3 item 6: glued-Wilkinson at n >= 4096 with 1e-14 glue —
+    inverse iteration without cluster handling loses orthogonality
+    exactly here. Pass bar: ortho <= ~n*eps and residual at machine
+    scale."""
+    from elementalx.lapack.tridiag_eig import tridiag_eig
+
+    nblocks = 196                     # n = 4116
+    d, e = _glued_wilkinson_tridiag(nblocks, 1e-14)
+    n = d.shape[0]
+    w, Z = tridiag_eig(d, e)
+    w = np.asarray(w)
+    Z = np.asarray(Z)
+    eps = np.finfo(np.float64).eps
+    # eigenvalues against LAPACK bisection
+    import scipy.linalg as sla
+    wref = sla.eigvalsh_tridiagonal(d, e)
+    assert np.max(np.abs(np.sort(w) - wref)) < 1e3 * eps * np.abs(
+        wref).max()
+    # residual T Z - Z diag(w)
+    TZ = d[:, None] * Z
+    TZ[1:] += e[:, None] * Z[:-1]
+    TZ[:-1] += e[:, None] * Z[1:]
+    resid = np.abs(TZ - Z * w[None, :]).max() / (eps * n
+                                                 * np.abs(w).max())
+    assert resid < 100, f"scaled residual {resid}"
+    ortho = np.abs(Z.T @ Z - np.eye(n)).max()
+    assert ortho <= 32 * n * eps, f"ortho {ortho} vs bar {32 * n * eps}"
+
+
+def test_tight_cluster_1e14_spacing(grid):
+    """Eigenvalues spaced by ~1e-14 around 1.0 (a single giant cluster):
+    the vectors must still come out orthogonal."""
+    from elementalx.lapack.tridiag_eig import tridiag_eig
+
+    n = 512
+    rng = np.random.default_rng(3)
+    d = 1.0 + np.arange(n) * 1e-14
+    e = np.full(n - 1, 1e-15) * (1 + rng.random(n - 1))
+    w, Z = tridiag_eig(d, e)
+    w = np.asarray(w)
+    Z = np.asarray(Z)
+    eps = np.finfo(np.float64).eps
+    TZ = d[:, None] * Z
+    TZ[1:] += e[:, None] * Z[:-1]
+    TZ[:-1] += e[:, None] * Z[1:]
+    resid = np.abs(TZ - Z * w[None, :]).max() / (eps * n)
+    assert resid < 100, f"scaled residual {resid}"
+    ortho = np.abs(Z.T @ Z - np.eye(n)).max()
+    assert ortho <= 32 * n * eps, f"ortho {ortho} vs bar {32 * n * eps}"
