@@ -38,18 +38,50 @@ from .tridiag_eig import tridiag_eig, tridiag_eigvalsh
 
 
 class HermitianEigCtrl(NamedTuple):
-    """Reference: include/El/lapack_like/spectral.hpp:411-433."""
+    """Reference: include/El/lapack_like/spectral.hpp:411-433.
+    ``refine=True`` post-processes the working-precision (f32) MXU
+    eigendecomposition with the Ozaki-residual Rayleigh/inverse-iteration
+    sweeps of lapack/refine.py to ~f64 residuals (the reference reaches
+    f64 natively; this is the TPU-native equivalent tier)."""
 
     blocksize: Optional[int] = None
     use_sdc: bool = False
     sort: SortType = ASCENDING
+    refine: bool = False
+    refine_iters: int = 3
 
 
-@functools.partial(jax.jit, static_argnames=('uplo', 'vectors', 'ctrl'))
 def HermitianEig(uplo: UpperOrLower, A: DistMatrix, vectors: bool = True,
                  ctrl: Optional[HermitianEigCtrl] = None):
     """Full spectrum (w ascending) and optionally eigenvectors Q
-    (reference: HermitianEig.cpp:1003-1040)."""
+    (reference: HermitianEig.cpp:1003-1040). With ``ctrl.refine`` the
+    f32 decomposition is refined host-driven (device matmuls) to ~f64
+    residuals and returned as (w64, Q in f64). NOTE: the refined return
+    values keep f64 only when jax x64 is enabled — without it the final
+    ``jnp.asarray`` wrap truncates them back to f32 grade; use
+    ``lapack.refine.RefinedHermitianEig`` directly for numpy f64
+    results independent of the x64 flag."""
+    ctrl = ctrl or HermitianEigCtrl()
+    if ctrl.refine:
+        if not vectors:
+            # eigenvalues-only refinement still needs the vectors as the
+            # Rayleigh frame; compute and drop them
+            from .refine import RefinedHermitianEig
+            w64, _, _ = RefinedHermitianEig(uplo, A,
+                                            iters=ctrl.refine_iters)
+            return jnp.asarray(w64)
+        from .refine import RefinedHermitianEig
+        w64, V64, _ = RefinedHermitianEig(uplo, A, iters=ctrl.refine_iters)
+        Q = DistMatrix.from_global(jnp.asarray(V64), MC, MR, A.grid)
+        return jnp.asarray(w64), Q
+    return _hermitian_eig_jit(uplo, A, vectors,
+                              ctrl._replace(refine=False))
+
+
+@functools.partial(jax.jit, static_argnames=('uplo', 'vectors', 'ctrl'))
+def _hermitian_eig_jit(uplo: UpperOrLower, A: DistMatrix,
+                       vectors: bool = True,
+                       ctrl: Optional[HermitianEigCtrl] = None):
     ctrl = ctrl or HermitianEigCtrl()
     n = A.m
     if n != A.n:

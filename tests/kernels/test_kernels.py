@@ -295,3 +295,72 @@ def test_extended_precision_matmul():
     got = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
     plain = np.asarray(jnp.asarray(a) @ jnp.asarray(b), np.float64)
     assert np.linalg.norm(got - ref) <= 0.05 * np.linalg.norm(plain - ref)
+
+
+def test_refined_svd(grid, rng):
+    """Singular-triplet refinement to ~f64 grade from the f32 SVD via the
+    implicit Jordan-Wielandt sweep (VERDICT r3 item 3)."""
+    from elementalx.lapack.refine import RefinedSVD
+    from elementalx import DistMatrix
+    import jax.numpy as jnp
+
+    m, n = 80, 48
+    a = rng.standard_normal((m, n)).astype(np.float32)
+    A = DistMatrix.from_global(jnp.asarray(a), grid=grid)
+    U, s, V, resid = RefinedSVD(A, iters=3)
+    a64 = np.asarray(a, np.float64)
+    sref = np.linalg.svd(a64, compute_uv=False)
+    assert np.abs(s - sref).max() < 1e-10 * sref[0]
+    r = np.abs(a64 @ V - U * s[None, :]).max()
+    scaled = r / (np.finfo(np.float64).eps * m * sref[0])
+    assert scaled < 100, f"scaled residual {scaled}"
+    assert np.abs(U.T @ U - np.eye(n)).max() < 1e-12
+    assert np.abs(V.T @ V - np.eye(n)).max() < 1e-12
+
+
+def test_hermitian_eig_ctrl_refine(grid, rng):
+    """HermitianEigCtrl(refine=True) dispatch returns f64-grade (w, Q)
+    through the public driver."""
+    from elementalx import DistMatrix
+    from elementalx.lapack.hermitian_eig import (HermitianEig,
+                                                 HermitianEigCtrl)
+    from elementalx.core.types import LOWER
+    import jax.numpy as jnp
+
+    n = 64
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    a = (a + a.T) / 2
+    A = DistMatrix.from_global(jnp.asarray(a), grid=grid)
+    w, Q = HermitianEig(LOWER, A, vectors=True,
+                        ctrl=HermitianEigCtrl(refine=True))
+    a64 = np.asarray(a, np.float64)
+    wref = np.linalg.eigvalsh(a64)
+    w = np.asarray(w)
+    assert np.abs(w - wref).max() < 1e-10 * max(1, np.abs(wref).max())
+    V = np.asarray(Q.global_array())[:n, :n]
+    r = np.abs(a64 @ V - V * w[None, :]).max()
+    scaled = r / (np.finfo(np.float64).eps * n * np.abs(wref).max())
+    assert scaled < 100, f"scaled residual {scaled}"
+
+
+def test_pallas_getrf_interpret(rng):
+    """Fused pivoted-panel LU kernel (kernels/getrf.py) in interpreter
+    mode: LAPACK-packed factor must reproduce P A = L U with partial
+    pivoting (|L| <= 1)."""
+    from elementalx.kernels.getrf import pallas_getrf
+
+    Mt, w = 384, 256   # two mid-blocks: exercises the 128-level update
+    a = rng.standard_normal((Mt, w)).astype(np.float32)
+    packed, lperm = jax.jit(
+        lambda x: pallas_getrf(x, interpret=True))(jnp.asarray(a))
+    packed = np.asarray(packed, np.float64)
+    lperm = np.asarray(lperm)
+    assert sorted(lperm.tolist()) == list(range(Mt))
+    ell = np.tril(packed[:, :w], -1) + np.eye(Mt, w)
+    ell = np.vstack([ell[:w], packed[w:, :]])
+    ell[w:, :] = packed[w:, :]
+    u = np.triu(packed[:w, :])
+    pa = a[lperm, :].astype(np.float64)
+    err = np.abs(pa - ell @ u).max() / max(np.abs(a).max(), 1)
+    assert err < 1e-4, f"P A != L U: {err}"
+    assert np.abs(np.tril(packed[:, :w], -1)).max() <= 1 + 1e-6
