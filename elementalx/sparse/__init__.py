@@ -16,3 +16,9 @@ from .supernodal import (  # noqa: F401
     SupernodalLDLFactorization,
     SupernodalSymbolic,
 )
+
+
+def Multiply(alpha, A: DistSparseMatrix, X: DistMultiVec) -> DistMultiVec:
+    """Y := alpha A X (reference: El::Multiply on DistSparseMatrix x
+    DistMultiVec, the DistSparseMultMeta-exchange SpMV)."""
+    return A.multiply(X, alpha=alpha)

@@ -116,14 +116,94 @@ class SparseMatrix:
 
 
 class DistSparseMatrix(SparseMatrix):
-    """Distributed sparse matrix (reference: DistSparseMatrix). The
-    pattern is host-global (single controller); the grid tags where the
-    numeric fronts execute."""
+    """Distributed sparse matrix (reference: DistSparseMatrix —
+    row-block ownership, QueueUpdate/ProcessQueues, Multiply).
+
+    Single-controller TPU design: symbolic structure stays host-global
+    CSC (symbolic factorization is host graph work, as in the reference
+    where every rank mirrors the metadata it needs), but the NUMERIC
+    structure is genuinely device-resident after ``process_queues``:
+    the matrix is converted to a padded-ELL row-block layout
+    (``ell_cols``/``ell_vals`` of shape (Mp, K)) sharded by rows over
+    the grid's devices — each device owns a contiguous row block,
+    exactly the reference's ownership map. ``multiply`` is the
+    distributed SpMV (reference: DistSparseMatrix Multiply via the
+    DistSparseMultMeta exchange): a row-sharded gather+contract whose
+    x-exchange GSPMD plans as the all-gather the meta exchange performs."""
 
     def __init__(self, height: int, width: Optional[int] = None,
                  grid: Optional[Grid] = None):
         super().__init__(height, width)
         self.grid = grid or Grid.default()
+        self.ell_cols = None   # (Mp, K) int32, row-sharded on device
+        self.ell_vals = None   # (Mp, K) values, row-sharded on device
+
+    # row-block ownership (reference: DistSparseMatrix::Blocksize/
+    # FirstLocalRow): contiguous blocks of ceil(m/p) rows per device
+    def row_owner(self, i: int) -> int:
+        p = self.grid.size
+        blk = -(-self.m // p)
+        return min(int(i) // blk, p - 1)
+
+    def local_row_range(self, rank: int) -> Tuple[int, int]:
+        p = self.grid.size
+        blk = -(-self.m // p)
+        return rank * blk, min((rank + 1) * blk, self.m)
+
+    def process_queues(self) -> None:
+        super().process_queues()
+        self._build_device()
+
+    def _build_device(self) -> None:
+        """Pack the CSC pattern into the padded-ELL row blocks and put
+        them on the mesh (1-D row sharding over all devices)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        p = self.grid.size
+        Mp = -(-self.m // p) * p
+        # CSC -> CSR triples
+        cnt = np.diff(self.colptr)
+        jj = np.repeat(np.arange(self.n, dtype=np.int64), cnt)
+        ii = self.rowind.astype(np.int64)
+        order = np.argsort(ii, kind="stable")
+        ii, jj, vv = ii[order], jj[order], self.values[order]
+        rcnt = np.bincount(ii, minlength=Mp)
+        K = max(int(rcnt.max()) if rcnt.size else 0, 1)
+        K = -(-K // 8) * 8  # lane-friendly padding
+        cols = np.zeros((Mp, K), np.int32)
+        vals = np.zeros((Mp, K), self.values.dtype if self.nnz
+                        else np.float64)
+        # within-row slot index: running offset inside each row
+        slot = np.arange(ii.shape[0]) - np.concatenate(
+            [[0], np.cumsum(rcnt)])[ii]
+        cols[ii, slot] = jj.astype(np.int32)
+        vals[ii, slot] = vv
+        sh = NamedSharding(self.grid.mesh, P(("mc", "mr"), None))
+        self.ell_cols = jax.device_put(jnp.asarray(cols), sh)
+        self.ell_vals = jax.device_put(jnp.asarray(vals), sh)
+
+    def multiply(self, X: "DistMultiVec", alpha=1.0) -> "DistMultiVec":
+        """Y := alpha A X, distributed (reference: El::Multiply for
+        DistSparseMatrix x DistMultiVec). Row-sharded ELL contract:
+        the gather of X's rows is GSPMD's all-gather — the analogue of
+        the reference's DistSparseMultMeta exchange."""
+        import jax.numpy as jnp
+
+        if self.ell_cols is None:
+            raise RuntimeError("process_queues() first")
+        xd = X.dm.redistribute(VC, STAR).data          # (Np, Wp) padded
+        # padded ELL slots carry value 0, so their gathered x
+        # contribution vanishes; padded x columns are zero, so y keeps
+        # the zero-padding invariant in both dims
+        gathered = jnp.take(xd, self.ell_cols.reshape(-1), axis=0)
+        gathered = gathered.reshape(self.ell_cols.shape + (xd.shape[1],))
+        y = jnp.einsum("rk,rkn->rn", self.ell_vals, gathered) \
+            * jnp.asarray(alpha, self.ell_vals.dtype)
+        out = DistMatrix.from_padded(y, self.m, X.dm.n, VC, STAR,
+                                     self.grid, X.dm.wrap)
+        return DistMultiVec(out)
 
 
 class DistMultiVec:
