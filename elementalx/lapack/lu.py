@@ -69,6 +69,33 @@ _SLAB_INNER = 512
 _GETRF_CHUNK = 4096
 
 
+def _pallas_getrf_ok(shape, dtype) -> bool:
+    """Route a panel getrf through the fused Pallas kernel
+    (kernels/getrf.py) when it fits VMEM and tiles cleanly. XLA's
+    LuDecompositionBlock charges ~0.56 ns per panel element; the fused
+    kernel factors the chunk out of VMEM in one shot."""
+    import os
+
+    if os.environ.get("ELX_NO_PALLAS_GETRF"):
+        return False
+    from ..kernels.common import on_tpu
+
+    Mt, w = shape
+    return (on_tpu() and dtype == jnp.float32
+            and w % 128 == 0 and Mt % 128 == 0
+            and Mt * w * 4 <= 8 * 2 ** 20)
+
+
+def _getrf_flat(sub: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """VMEM-sized getrf: fused Pallas kernel on TPU, XLA elsewhere."""
+    if _pallas_getrf_ok(sub.shape, sub.dtype):
+        from ..kernels.getrf import pallas_getrf
+
+        return pallas_getrf(sub)
+    lu, _, lperm = jax.lax.linalg.lu(sub)
+    return lu, lperm
+
+
 def _getrf_tall(sl: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Tournament-pivoted LU of a very tall panel (Mt, w) — the CALU
     scheme (Grigori/Demmel/Xiang): partition rows into chunks, factor
@@ -90,11 +117,11 @@ def _getrf_tall(sl: jax.Array) -> Tuple[jax.Array, jax.Array]:
     # sequential chunk getrfs (a vmapped batch overflows scoped VMEM)
     cands = []
     for c in range(nc):
-        _, _, cp = jax.lax.linalg.lu(slp[c * H:(c + 1) * H])
+        _, cp = _getrf_flat(slp[c * H:(c + 1) * H])
         cands.append(cp[:w] + c * H)
     cand = jnp.concatenate(cands)                         # (nc*w,)
     stack = jnp.take(slp, cand, axis=0, unique_indices=True)
-    slu, _, sperm = jax.lax.linalg.lu(stack)
+    slu, sperm = _getrf_flat(stack)
     win = jnp.take(cand, sperm, axis=0, unique_indices=True)  # (nc*w,)
     P = win[:w]
     # A padded zero row can only win the tournament over an exactly
@@ -129,8 +156,7 @@ def _getrf(sub: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Native getrf when the panel fits scoped VMEM, tournament above."""
     if sub.shape[0] > _GETRF_CHUNK:
         return _getrf_tall(sub)
-    lu, _, lperm = jax.lax.linalg.lu(sub)
-    return lu, lperm
+    return _getrf_flat(sub)
 
 
 def _lu_slab(sl: jax.Array) -> Tuple[jax.Array, jax.Array]:

@@ -28,11 +28,11 @@ from elementalx.kernels.getrf import pallas_getrf
 INTERP = os.environ.get("INTERP", "0") == "1"
 
 
-def check(Mt, w, ib=16, seed=0):
+def check(Mt, w, ib=128, seed=0):
     rng = np.random.default_rng(seed)
     a = rng.standard_normal((Mt, w)).astype(np.float32)
     packed, lperm = jax.jit(
-        lambda x: pallas_getrf(x, ib=ib, interpret=INTERP))(jnp.asarray(a))
+        lambda x: pallas_getrf(x, interpret=INTERP))(jnp.asarray(a))
     packed = np.asarray(packed, np.float64)
     lperm = np.asarray(lperm)
     assert sorted(lperm.tolist()) == list(range(Mt)), "lperm not a permutation"
@@ -72,7 +72,7 @@ def time_panel(Mt, w, ib):
     def mk_pallas(k):
         def f(x):
             def body(_, X):
-                out, piv = pallas_getrf(X, ib=ib)
+                out, piv = pallas_getrf(X)
                 s = jnp.sum(out) * 1e-30 + jnp.sum(piv).astype(
                     jnp.float32) * 1e-30
                 return X.at[0, 0].add(s)
@@ -103,11 +103,11 @@ def main():
     check(1024, 256)
     if os.environ.get("BIGCHECK", "1") == "1" and not INTERP:
         check(4096, 512)
-        check(4096, 512, ib=32)
+        check(6144, 512)
     if os.environ.get("TIME", "1") == "1" and not INTERP:
-        for ib in (16, 32):
-            time_panel(4096, 512, ib)
-        time_panel(2048, 512, 16)
+        time_panel(4096, 512, 128)
+        time_panel(2048, 512, 128)
+        time_panel(6144, 512, 128)
         time_panel(4096, 256, 16)
         time_panel(2048, 256, 16)
 
