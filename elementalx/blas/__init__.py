@@ -2,7 +2,7 @@
 
 from . import level1  # noqa: F401
 from .level1 import *  # noqa: F401,F403
-from .gemm import Gemm, local_gemm, set_local_precision  # noqa: F401
+from .gemm import Gemm, Gemm3D, local_gemm, set_local_precision  # noqa: F401
 from .trsm import Trsm, Trsv  # noqa: F401
 from .level2 import (  # noqa: F401
     ApplyGivensSequence,

@@ -295,3 +295,96 @@ def test_qr_panel_step_no_trailing_replication(g):
     biggest = max((max(v) for v in stats.values() if v), default=0)
     assert biggest < n * (n - nb), \
         f"a collective moves the whole trailing matrix: {stats}"
+
+
+@pytest.mark.parametrize("alg_name", ["A", "B", "DOT"])
+def test_explicit_summa_collectives(g, alg_name):
+    """The explicit shard_map SUMMA variants (stationary-A/B and the
+    dot/inner-product form) must each move O(matrix) data — matching
+    Gemm/NN.hpp:325-368's per-variant communication profile."""
+    from elementalx.core.types import (GEMM_SUMMA_A, GEMM_SUMMA_B,
+                                       GEMM_SUMMA_DOT)
+
+    alg = {"A": GEMM_SUMMA_A, "B": GEMM_SUMMA_B,
+           "DOT": GEMM_SUMMA_DOT}[alg_name]
+    m = 512
+    A = _mk(g, m, m, seed=3)
+    B = _mk(g, m, m, seed=4)
+
+    def f(A, B):
+        return El.Gemm(NORMAL, NORMAL, 1.0, A, B, alg=alg).data
+
+    hlo = _opt_hlo(f, A, B)
+    stats = _collective_stats(hlo)
+    moved = _total(stats, *_COLLECTIVES)
+    assert moved > 0, f"SUMMA-{alg_name} compiled with no collectives"
+    # each variant keeps one operand stationary and moves the other two
+    # across one comm each; allow staging overhead
+    assert moved <= 8 * m * m, \
+        f"SUMMA-{alg_name} communication superlinear: {stats}"
+
+
+def test_gemm3d_depth_reduction(g):
+    """Gemm3D splits K over the depth axis and must reduce the layer
+    contributions (psum over 'md') — G3DGemm.cpp:304's
+    SumContributions."""
+    m = 256
+    A = _mk(g, m, m, seed=5)
+    B = _mk(g, m, m, seed=6)
+
+    def f(A, B):
+        return El.blas.Gemm3D(A, B, depth=2).data
+
+    hlo = _opt_hlo(f, A, B)
+    stats = _collective_stats(hlo)
+    red = _total(stats, "all-reduce", "reduce-scatter")
+    assert red > 0, f"Gemm3D emitted no depth reduction: {stats}"
+    assert _total(stats, *_COLLECTIVES) <= 10 * m * m, \
+        f"Gemm3D communication superlinear: {stats}"
+
+
+def test_block_gemm_matched_layout_no_extra_movement(g):
+    """BlockGemm with matching inner layouts+cuts runs DIRECTLY on the
+    permuted shards (Block.hpp:20-218 native dispatch): its HLO must not
+    move more data than the identical element-wrap Gemm — the owner
+    permutations cancel, so there is NO unwind/rewrap gather."""
+    from elementalx.core.block import BlockGemm, BlockMatrix
+    import jax
+
+    # the native zero-movement path needs A.col_perm == B.row_perm,
+    # which requires a SQUARE process grid (row wraps use g.height,
+    # column wraps g.width) — take a 2x2 subgrid
+    gsq = El.Grid(devices=jax.devices()[:4], height=2)
+    m = 256
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.standard_normal((m, m)))
+    b = jnp.asarray(rng.standard_normal((m, m)))
+    Ab = BlockMatrix.from_element(DistMatrix.from_global(a, grid=gsq),
+                                  bh=16, bw=16)
+    Bb = BlockMatrix.from_element(DistMatrix.from_global(b, grid=gsq),
+                                  bh=16, bw=16)
+    assert np.all(Ab.col_perm == Bb.row_perm), "fixture must match layouts"
+
+    def f_block(ad, bd):
+        A2 = BlockMatrix(Ab.dm.with_data(ad), Ab.row_perm, Ab.col_perm,
+                         Ab.block_height, Ab.block_width, Ab.m, Ab.n,
+                         Ab.row_cut, Ab.col_cut)
+        B2 = BlockMatrix(Bb.dm.with_data(bd), Bb.row_perm, Bb.col_perm,
+                         Bb.block_height, Bb.block_width, Bb.m, Bb.n,
+                         Bb.row_cut, Bb.col_cut)
+        return BlockGemm(1.0, A2, B2).dm.data
+
+    def f_elem(ad, bd):
+        A2 = Ab.dm.with_data(ad)
+        B2 = Bb.dm.with_data(bd)
+        return El.Gemm(NORMAL, NORMAL, 1.0, A2, B2).data
+
+    moved_block = _total(
+        _collective_stats(_opt_hlo(f_block, Ab.dm.data, Bb.dm.data)),
+        *_COLLECTIVES)
+    moved_elem = _total(
+        _collective_stats(_opt_hlo(f_elem, Ab.dm.data, Bb.dm.data)),
+        *_COLLECTIVES)
+    assert moved_block <= moved_elem, (
+        f"matched-layout BlockGemm moved MORE than the element Gemm: "
+        f"{moved_block} vs {moved_elem}")
