@@ -113,6 +113,118 @@ def main():
     }))
 
 
+def _chain_time(mkchain, args, k1, k2, reps=3):
+    """Tunnel-safe timing: run k1- and k2-iteration jitted chains and
+    divide the difference (block_until_ready is unreliable over axon)."""
+    f1, f2 = mkchain(k1), mkchain(k2)
+    float(f1(*args))
+    float(f2(*args))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(f1(*args))
+        t1 = time.perf_counter()
+        float(f2(*args))
+        t2 = time.perf_counter()
+        best = min(best, ((t2 - t1) - (t1 - t0)) / (k2 - k1))
+    return best
+
+
+def full():
+    """BASELINE.md reproduction rows (VERDICT r2 weak item 8): Cholesky
+    and LU at N=16384, HermitianEig at N=8192 with on-device residual —
+    one JSON line per metric, reproducible as `python bench.py --full`."""
+    import jax
+
+    if os.environ.get("BENCH_FORCE_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    import elementalx as El
+    from elementalx import DistMatrix
+    from elementalx.core.types import LOWER, NORMAL
+
+    devs = jax.devices()
+    platform = devs[0].platform.lower()
+    on_tpu = platform in ("tpu", "axon")
+    peak = _detect_peak_tflops(platform)
+    grid = El.Grid(devices=devs)
+    rng = np.random.default_rng(0)
+    lines = []
+
+    # ---- Cholesky N=16384 (BASELINE: >=85% MXU peak) ----
+    n = 16384 if on_tpu else 256
+    g = rng.standard_normal((n, n)).astype(np.float32) / np.sqrt(n)
+    spd = (g @ g.T + 2 * np.eye(n, dtype=np.float32))
+    for dt, prec_peak in ((jnp.bfloat16, peak), (jnp.float32, peak)):
+        A = DistMatrix.from_global(jnp.asarray(spd, dt), grid=grid)
+
+        def mk(k, A=A):
+            def f(Ad):
+                def body(_, X):
+                    L = El.Cholesky(LOWER, A.with_data(X))
+                    s = jnp.sum(L.data.astype(jnp.float32)) * 1e-30
+                    return X + s.astype(X.dtype)
+                X = jax.lax.fori_loop(0, k, body, Ad)
+                return jnp.sum(X[0].astype(jnp.float32))
+            return jax.jit(f)
+
+        t = _chain_time(mk, (A.data,), 1, 3 if on_tpu else 2)
+        tf = n ** 3 / 3 / t / 1e12
+        lines.append({
+            "metric": f"cholesky_{jnp.dtype(dt).name}_N{n}_tflops",
+            "value": round(tf, 2), "unit": "TFLOP/s",
+            "vs_baseline": round(tf / (0.85 * prec_peak), 4)})
+
+    # ---- LU N=16384 f32 (round-1 target: <=200 ms) ----
+    A = DistMatrix.from_global(jnp.asarray(spd), grid=grid)
+
+    def mklu(k):
+        def f(Ad):
+            def body(_, X):
+                F, P = El.LU(A.with_data(X))
+                s = (jnp.sum(F.data) * 1e-30
+                     + jnp.sum(P.perm).astype(jnp.float32) * 1e-30)
+                return X + s.astype(X.dtype)
+            X = jax.lax.fori_loop(0, k, body, Ad)
+            return jnp.sum(X[0])
+        return jax.jit(f)
+
+    t = _chain_time(mklu, (A.data,), 1, 3 if on_tpu else 2)
+    lines.append({
+        "metric": f"lu_f32_N{n}_ms", "value": round(t * 1e3, 1),
+        "unit": "ms", "vs_baseline": round(0.200 / t, 4)})
+
+    # ---- HermitianEig N=8192 f32 (BASELINE config 4) ----
+    ne = 8192 if on_tpu else 256
+    h = rng.standard_normal((ne, ne)).astype(np.float32)
+    h = (h + h.T) / np.sqrt(8 * ne)
+    H = DistMatrix.from_global(jnp.asarray(h), grid=grid)
+
+    @jax.jit
+    def eig_resid(Hd):
+        Hm = H.with_data(Hd)
+        w, Q = El.HermitianEig(LOWER, Hm)
+        R = El.Gemm(NORMAL, NORMAL, 1.0, Hm, Q)
+        D = R.data[:ne, :ne] - Q.data[:ne, :ne] * w[None, :]
+        return jnp.max(jnp.abs(D)) / (
+            jnp.finfo(jnp.float32).eps * ne * jnp.max(jnp.abs(w)))
+
+    t0 = time.perf_counter()
+    r1 = float(eig_resid(H.data))
+    time.perf_counter()
+    t1 = time.perf_counter()
+    r2 = float(eig_resid(H.data))
+    t2 = time.perf_counter()
+    lines.append({
+        "metric": f"hermitian_eig_f32_N{ne}_seconds",
+        "value": round(t2 - t1, 3), "unit": "s",
+        "vs_baseline": round(float(r2), 3)})  # vs_baseline = scaled resid
+
+    for ln in lines:
+        print(json.dumps(ln), flush=True)
+
+
 def _run_child(extra_env, timeout):
     env = dict(os.environ)
     env.update(extra_env, BENCH_CHILD="1")
@@ -133,6 +245,9 @@ def _run_child(extra_env, timeout):
 
 
 if __name__ == "__main__":
+    if "--full" in sys.argv:
+        full()
+        sys.exit(0)
     if os.environ.get("BENCH_CHILD") == "1":
         main()
     else:

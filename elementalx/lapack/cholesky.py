@@ -175,14 +175,11 @@ def _chol_lower_left(a: jax.Array, nb: int, precision=None,
 def _chol_lower_left2(a: jax.Array, outer: int, inner: int,
                       precision=None, store=None) -> jax.Array:
     """TWO-LEVEL left-looking blocked lower Cholesky (pad diagonal 1).
-    The flat left-looking loop's history product runs (M-k0) x k0 x nb
-    gemms — at nb=512 those sit at ~110-140 TF/s on the MXU and re-read
-    the factor once per panel. Applying the history at OUTER width
-    (2048: near-peak single-pass gemms, 1/4 the Lbuf re-reads) and
-    factoring the outer panel with an inner left-looking loop confined
-    to it measured 16.2 -> 13.2 ms at N=16384 bf16 (110.8 TF/s,
-    scratch/ab_chol5.py). f32 (3-pass HIGH updates) prefers the flat
-    scheme — this path is used for low-precision storage only."""
+    MEASURED NULL — kept only for A/B reruns (scratch/ab_chol5/6.py):
+    applying the history at outer width (near-peak gemms, fewer Lbuf
+    re-reads) won one session (13.2 vs 16.2 ms bf16 16384) but lost the
+    same-session verification sweep on every configuration (flat 14.9 vs
+    15.7-18.6 ms); the driver dispatches the flat scheme only."""
     M = a.shape[0]
     sdt = store or a.dtype
     low = a.dtype in (jnp.bfloat16, jnp.float16)
@@ -303,18 +300,17 @@ def _cholesky_jit(uplo: UpperOrLower, A: DistMatrix,
     else:
         prec = None
     if single:
-        # single chip: left-looking panel schemes (n^3/3 flops, no
-        # concatenate tree — measured fastest; scratch/ab_chol2/5.py).
-        # bf16 storage at large N wants the TWO-LEVEL form (outer-width
-        # history gemms near MXU peak: 16384 16.2 -> 13.2 ms); f32's
-        # 3-pass HIGH updates prefer the flat loop. Multi-grid keeps the
-        # recursive form whose full-size matmuls GSPMD shards well
-        # (HLO-verified in tests/core/test_collectives).
-        if (low_store and blocksize is None
-                and d.shape[0] >= 12288 and d.shape[0] % 2048 == 0):
-            L = _chol_lower_left2(d, 2048, 512, prec, store)
-        else:
-            L = _chol_lower_left(d, nb, prec, store)
+        # single chip: FLAT left-looking panel scheme (n^3/3 flops, no
+        # concatenate tree — measured fastest; scratch/ab_chol2.py).
+        # NULL RESULT (scratch/ab_chol5/6.py): the two-level variant
+        # (_chol_lower_left2) beat flat in one session (13.2 vs 16.2 ms
+        # bf16 16384) but LOST the full same-session verification sweep
+        # (flat 14.9 vs 15.7-18.6 ms across 2048/1536/2560 x 512/384/256;
+        # f32 35.2 vs 39.7-40.8) — session-to-session chip/compiler
+        # variance, not a real win. Multi-grid keeps the recursive form
+        # whose full-size matmuls GSPMD shards well (HLO-verified in
+        # tests/core/test_collectives).
+        L = _chol_lower_left(d, nb, prec, store)
     else:
         L = _chol_lower_rec(d, nb, prec, store)
     # the factor is already lower-trapezoidal by construction (XLA's
