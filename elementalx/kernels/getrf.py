@@ -54,6 +54,34 @@ def _dot(a, b):
                                preferred_element_type=jnp.float32)
 
 
+def _inv_unit_upper(M):
+    """Inverse of a unit UPPER-triangular (n, n) matrix, n a power of
+    two >= 8. Blocked 2x2 partitioned inversion down to an 8-wide
+    product-form base: inv([[A, C], [0, B]]) = [[iA, -iA C iB],
+    [0, iB]]. The naive product form prod_k (I + (-R)^(2^k)) at n=128
+    squares a nilpotent with |entries| <= 1 into ~C(126, 63) ~ 2^120
+    magnitudes — catastrophic in f32; the blocked form only ever forms
+    entries of the TRUE inverse (growth bounded by the factor's real
+    conditioning)."""
+    n = M.shape[0]
+    if n == _SUB:
+        sub = jax.lax.broadcasted_iota(jnp.int32, (_SUB, 1), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, _SUB), 1)
+        S = -jnp.where(sub < lane, M, 0.0)
+        inv = jnp.eye(_SUB, dtype=jnp.float32) + S
+        for _ in range(2):                  # (I+S)(I+S^2)(I+S^4)
+            S = _dot(S, S)
+            inv = _dot(inv, jnp.eye(_SUB, dtype=jnp.float32) + S)
+        return inv
+    h = n // 2
+    iA = _inv_unit_upper(jax.lax.slice(M, (0, 0), (h, h)))
+    iB = _inv_unit_upper(jax.lax.slice(M, (h, h), (n, n)))
+    C = jax.lax.slice(M, (0, h), (h, n))
+    top = jnp.concatenate([iA, -_dot(_dot(iA, C), iB)], axis=1)
+    bot = jnp.concatenate([jnp.zeros((h, h), jnp.float32), iB], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
 def _getrf_kernel(at_hbm, out_hbm, piv_hbm, tp, used, pivrow, sem):
     """tp: (w, Mt) VMEM transposed working copy; used: (1, Mt) per-lane
     elimination-step stamps (+BIG = never elected); pivrow: (1, w) pivot
@@ -111,39 +139,42 @@ def _getrf_kernel(at_hbm, out_hbm, piv_hbm, tp, used, pivrow, sem):
 
             tp[pl.ds(j0, _SUB), :] = B
 
-            # ---- group compound update to the rest of the mid-block
+            # ---- group compound update to the rest of the mid-block.
+            # U-substitution is a PRODUCT-FORM inverse: the pivot-lane
+            # matrix L8[t', t] = B[t', p_t] is nonzero only for t > t'
+            # (strictly upper), so R = SU(L8) is nilpotent and
+            # inv(I + R) = prod_k (I + (-R)^(2^k)) — log2(8) = 3 small
+            # matmuls instead of an 8-step latency-bound substitution.
             Oh = (jax.lax.broadcasted_iota(jnp.int32, (Mt, _SUB), 0)
                   == pg.astype(jnp.int32)).astype(jnp.float32)
             # multipliers of lanes eliminated after each group column
             lmask = used[:, :] > (j0 + sub8).astype(jnp.float32)
             Lg = jnp.where(lmask, B, 0.0)                # (8, Mt)
-            # L8[t', t] = B[t', p_t] (pivot rows' stored multipliers)
             L8 = _dot(Lg, Oh)                            # (8, 8)
+            R = -jnp.where(sub8 < lane8, L8, 0.0)        # -(strict upper)
+            inv8 = jnp.eye(_SUB, dtype=jnp.float32) + R
+            for _ in range(2):                           # (I+R)(I+R^2)(I+R^4)
+                R = _dot(R, R)
+                inv8 = _dot(inv8, jnp.eye(_SUB, dtype=jnp.float32) + R)
 
-            def g2body(g2, _):
-                k0 = pl.multiple_of(m0 + g2 * _SUB, _SUB)
-                Ts = tp[pl.ds(k0, _SUB), :]              # (8, Mt)
-                G2 = _dot(Ts, Oh)                        # (8, 8)
-                # U[c, t] = G2[c, t] - sum_{t'<t} L8[t', t] U[c, t']
-                U = jnp.zeros((_SUB, _SUB), jnp.float32)
-                for t in range(_SUB):                    # static unroll
-                    lt = lane8 == t
-                    cvec = jnp.sum(jnp.where(lt, L8, 0.0), axis=1,
-                                   keepdims=True)        # (8,1) L8[:,t]
-                    cvec = jnp.where(sub8 < t, cvec, 0.0)
-                    gcol = jnp.sum(jnp.where(lt, G2, 0.0), axis=1,
-                                   keepdims=True)        # (8, 1)
-                    ucol = gcol - _dot(U, cvec)          # (8, 1)
-                    U = jnp.where(lt, ucol, U)
-                tp[pl.ds(k0, _SUB), :] = Ts - _dot(U, Lg)
-                return 0
-
-            jax.lax.fori_loop(g + 1, _MID // _SUB, g2body, 0)
+            # ONE gather matmul for the whole mid-block's trailing rows
+            # (values at the group's pivot lanes), one masked solve, one
+            # (128, 8) x (8, Mt) MXU update — replaces the former
+            # per-trailing-group loop of K=Mt matmuls with 8x8 outputs.
+            Tm = tp[m0:m0 + _MID, :]                     # (128, Mt)
+            Gall = _dot(Tm, Oh)                          # (128, 8)
+            after = sub128 >= (j0 - m0 + _SUB)           # rows past group
+            U = _dot(jnp.where(after, Gall, 0.0), inv8)  # (128, 8)
+            tp[m0:m0 + _MID, :] = Tm - _dot(U, Lg)
             return 0
 
         jax.lax.fori_loop(0, _MID // _SUB, group, 0)
 
-        # ---- mid-level compound update to the trailing mid-blocks
+        # ---- mid-level compound update to the trailing mid-blocks:
+        # blocked unit-upper inversion at width 128 (a handful of small
+        # matmuls, once per mid-block) in place of a 128-step
+        # substitution per trailing block. NOT the naive product form —
+        # see _inv_unit_upper for why that is catastrophic at this width.
         if mid + 1 < nmid:
             pvm = pivrow[:, m0:m0 + _MID]                # (1, 128)
             Ohm = (jax.lax.broadcasted_iota(jnp.int32, (Mt, _MID), 0)
@@ -151,28 +182,20 @@ def _getrf_kernel(at_hbm, out_hbm, piv_hbm, tp, used, pivrow, sem):
             lmaskM = used[:, :] > (m0 + sub128).astype(jnp.float32)
             Lm = jnp.where(lmaskM, tp[m0:m0 + _MID, :], 0.0)  # (128, Mt)
             L11 = _dot(Lm, Ohm)                          # (128, 128)
+            # keep only the strictly-upper coupling; diagonal is unit
+            invm = _inv_unit_upper(jnp.where(sub128 < lane128, L11, 0.0))
 
             for mid2 in range(mid + 1, nmid):            # static
                 k0 = mid2 * _MID
                 G = _dot(tp[k0:k0 + _MID, :], Ohm)       # (128, 128)
-
-                def subst(t, U):
-                    lt = lane128 == t
-                    cvec = jnp.sum(jnp.where(lt, L11, 0.0), axis=1,
-                                   keepdims=True)        # (128, 1)
-                    cvec = jnp.where(sub128 < t, cvec, 0.0)
-                    gcol = jnp.sum(jnp.where(lt, G, 0.0), axis=1,
-                                   keepdims=True)
-                    ucol = gcol - _dot(U, cvec)
-                    return jnp.where(lt, ucol, U)
-
-                U = jax.lax.fori_loop(
-                    0, _MID, subst, jnp.zeros((_MID, _MID), jnp.float32))
+                U = _dot(G, invm)
                 # apply in sub-slices to bound VMEM temporaries
                 for r0 in range(0, _MID, _TRAIL_ROWS):
                     rows = slice(k0 + r0, k0 + r0 + _TRAIL_ROWS)
-                    Usub = jax.lax.dynamic_slice(
-                        U, (r0, 0), (_TRAIL_ROWS, _MID))
+                    # static value slice (lax.slice): a dynamic_slice
+                    # primitive has no Pallas TPU lowering
+                    Usub = jax.lax.slice(
+                        U, (r0, 0), (r0 + _TRAIL_ROWS, _MID))
                     tp[rows, :] = tp[rows, :] - _dot(Usub, Lm)
 
     cp_out = pltpu.make_async_copy(tp, out_hbm, sem)
