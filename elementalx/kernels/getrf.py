@@ -242,7 +242,7 @@ def getrf_panel(a: jax.Array, interpret: bool = False):
         # one-hot/L/G temporaries exceed the 16 MB default scoped-VMEM
         # budget (~23 MB at (4096, 512)); v5e has 128 MB physical VMEM
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=112 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * Mt * w * w // 2, bytes_accessed=2 * Mt * w * 4,
             transcendentals=0),

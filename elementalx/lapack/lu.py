@@ -83,7 +83,7 @@ def _pallas_getrf_ok(shape, dtype) -> bool:
     Mt, w = shape
     return (on_tpu() and dtype == jnp.float32
             and w % 128 == 0 and Mt % 128 == 0
-            and Mt * w * 4 <= 8 * 2 ** 20)
+            and Mt * w * 4 <= 16 * 2 ** 20)
 
 
 def _getrf_flat(sub: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -106,7 +106,11 @@ def _getrf_tall(sl: jax.Array) -> Tuple[jax.Array, jax.Array]:
     communication-avoiding trade, backward stable in practice.
     Returns (packed, lperm) with the _lu_slab contract."""
     Mt, w = sl.shape
+    # the fused Pallas kernel has no row-height custom-call cliff, so
+    # when it handles a double-height chunk, halve the tournament depth
     H = _GETRF_CHUNK
+    if _pallas_getrf_ok((2 * H, w), sl.dtype):
+        H = 2 * H
     if Mt <= H:
         lu, _, lperm = jax.lax.linalg.lu(sl)
         return lu, lperm
