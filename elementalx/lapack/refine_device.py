@@ -1,0 +1,300 @@
+"""Device-resident f64-grade Hermitian eigen-refinement (real symmetric).
+
+VERDICT r3 item 3 asks for f64-grade spectra ON-CHIP at scale. The host
+path (`lapack/refine.RefinedHermitianEig`) orchestrates per-sweep numpy
+matmuls and re-splits/re-transfers the operands on every Ozaki call —
+fine on the CPU mesh, but at n=8192 over the axon tunnel the host
+matmuls (~1.1 TFLOP each on one core) and ~1 GB/call transfers dominate
+by minutes. This module keeps EVERYTHING resident: the matrix and the
+eigenbasis live on the device as double-word f32 pairs (hi + lo, ~48-bit
+mantissa — `kernels/extended.py`), the residual/Gram products run as
+Ozaki exact-split matmuls on the MXU (`kernels/ozaki.py`), the
+correction products as HIGHEST-precision f32 matmuls, and only scalars
+leave the device.
+
+Algorithm (same mathematics as the host path, reference target:
+BASELINE.md HermitianEig 'matching residuals'):
+
+    per sweep:  Newton orthonormalize V <- V (I - E/2 + 3/8 E^2),
+                      E = V^T V - I (Ozaki Gram; twice on sweep 0)
+                AV  = A V                       (Ozaki, dw result)
+                lam = colsum(V .* AV) / colsum(V .* V)   (dw Rayleigh)
+                R   = AV - V diag(lam)          (dw)
+                S   = V^T R (f32 HIGHEST: first-order small)
+                guarded corrections  D_ij = S_ij / (lam_j - lam_i) on
+                      pairs with |S| <= 0.1 |gap|; exact 2x2 Jacobi
+                      rotations on the adjacent unsafe pairs
+                V  <- dw(V + V D) . J
+
+    finish:     2x Newton + dw Rayleigh recompute and dw residual /
+                orthogonality readbacks.
+
+Clustered eigenvalues are handled ON DEVICE: per-pair corrections are
+guarded (zeroed where the first-order step would not be small — exactly
+where a naive pole sum diverges on clustered f32 spectra, measured at
+n=4096 GOE where the min spacing meets the f32 residual), and the
+guarded pairs are resolved by exact 2x2 Jacobi rotations on adjacent
+columns in eigenvalue order with alternating parity, whose angles are
+bounded by construction. See `_refine_impl`.
+
+Real symmetric only: the axon tunnel cannot move complex buffers, and
+the complex case splits into four real Ozaki products host-side already.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.dmatrix import DistMatrix
+from ..kernels.extended import two_sum, two_prod
+from ..kernels.ozaki import _emulated_core
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _dw_renorm(hi, lo):
+    h, e = two_sum(hi, lo)
+    return h, e
+
+
+def _dw_colsum_prod(xh, xl, yh, yl):
+    """Double-word column sums of the elementwise product of two dw
+    matrices: returns (hi, lo) of shape (n,) with
+    hi + lo ~= sum_i (x_i .* y_i) per column, ~2^-48 relative."""
+    ph, pe = two_prod(xh, yh)
+    pl = pe + xh * yl + xl * yh
+    # log-depth pairwise double-word tree along axis 0
+    n = ph.shape[0]
+    hi, lo = ph, pl
+    while n > 1:
+        half = (n + 1) // 2
+        pad = half * 2 - n
+        if pad:
+            z = jnp.zeros((pad, hi.shape[1]), hi.dtype)
+            hi = jnp.concatenate([hi, z], axis=0)
+            lo = jnp.concatenate([lo, z], axis=0)
+        s, e = two_sum(hi[0::2], hi[1::2])
+        lo = e + (lo[0::2] + lo[1::2])
+        hi, e2 = two_sum(s, lo)
+        lo = e2
+        n = half
+    # pin one copy per consumer (XLA fusion duplication would otherwise
+    # recompute the tree with different association per consumer and
+    # break downstream error-free transforms)
+    return jax.lax.optimization_barrier((hi[0], lo[0]))
+
+
+def _dw_div(nh, nl, dh, dl):
+    """Double-word division (nh+nl)/(dh+dl), ~2^-48 relative."""
+    q1 = nh / dh
+    # residual r = n - q1*d computed error-free
+    p, pe = two_prod(q1, dh)
+    rh = (nh - p) - pe + nl - q1 * dl
+    q2 = rh / dh
+    return jax.lax.optimization_barrier(two_sum(q1, q2))
+
+
+def _newton_ortho(vh, vl, n):
+    """One Newton orthonormalization pass V <- V (I - E/2 + 3/8 E^2),
+    E = V^T V - I (Ozaki Gram so E is dw-accurate; the correction is
+    applied through an Ozaki product so the basis keeps ~2^-48
+    orthogonality once converged)."""
+    eye = jnp.eye(n, dtype=jnp.float32)
+    gh, gl = _emulated_core(vh.T, vl.T, vh, vl)
+    eh = gh - eye                     # Sterbenz-exact near 1
+    el = gl
+    e2 = jnp.dot(eh, eh, precision=_HIGHEST)
+    mh, me = two_sum(-0.5 * eh, 0.375 * e2)
+    ml = me - 0.5 * el
+    ch, cl = _emulated_core(vh, vl, *_dw_renorm(mh, ml))
+    sh, se = two_sum(vh, ch)
+    return _dw_renorm(sh, vl + se + cl)
+
+
+def _dw_rot_pair(ah, al, bh, bl, c, s):
+    """dw rotation [a, b] <- [c a - s b, s a + c b] with f32 (c, s):
+    products via two_prod so the dw words survive; c**2 + s**2 = 1 only
+    to f32, which perturbs pair NORMS by ~1e-8 — the next Newton pass
+    restores 2^-48 orthonormality (rotations inside a near-degenerate
+    pair move vectors within the invariant subspace, where f32-grade
+    angles cost only ~angle_err * gap of residual)."""
+    p1h, p1e = two_prod(c, ah)
+    p2h, p2e = two_prod(s, bh)
+    xh, xe = two_sum(p1h, -p2h)
+    xl = xe + (p1e - p2e) + (c * al - s * bl)
+    q1h, q1e = two_prod(s, ah)
+    q2h, q2e = two_prod(c, bh)
+    yh, ye = two_sum(q1h, q2h)
+    yl = ye + (q1e + q2e) + (s * al + c * bl)
+    return (*_dw_renorm(xh, xl), *_dw_renorm(yh, yl))
+
+
+def _refine_impl(a_hi, a_lo, v0, w32, iters: int = 6):
+    """Refinement core: f32 A pair + f32 eigenbasis/values in, dw
+    eigenpairs + diagnostics out. Everything stays on device.
+
+    Per sweep: Newton orthonormalization, then a separated-pair
+    Rayleigh-quotient correction GUARDED per pair (zeroed where the
+    first-order step |qtr_ij| > 0.1 |gap_ij| would not be a small
+    correction — exactly where a naive pole sum diverges on clustered
+    f32 spectra), with the guarded pairs handled instead by EXACT 2x2
+    Jacobi rotations on adjacent (odd/even parity alternating) columns
+    in eigenvalue order: the rotation angle is bounded by construction,
+    so tight clusters converge without small-denominator blowup."""
+    n = a_hi.shape[0]
+    scale = jnp.maximum(jnp.max(jnp.abs(w32)), 1e-30).astype(jnp.float32)
+    tiny = (8 * np.finfo(np.float32).eps) * scale
+
+    # enter in ascending eigenvalue order (adjacent columns = adjacent
+    # eigenvalues, so parity pairing sweeps real clusters)
+    order0 = jnp.argsort(w32)
+    vh = v0[:, order0].astype(jnp.float32)
+    vl = jnp.zeros_like(vh)
+    lam_h = jnp.sort(w32).astype(jnp.float32)
+    lam_l = jnp.zeros_like(lam_h)
+
+    cols = jnp.arange(n)
+    for sweep in range(iters):
+        vh, vl = _newton_ortho(vh, vl, n)
+        if sweep == 0:  # f32 input basis: one more pass to reach 2^-48
+            vh, vl = _newton_ortho(vh, vl, n)
+        avh, avl = _emulated_core(a_hi, a_lo, vh, vl)
+        num_h, num_l = _dw_colsum_prod(vh, vl, avh, avl)
+        den_h, den_l = _dw_colsum_prod(vh, vl, vh, vl)
+        lam_h, lam_l = _dw_div(num_h, num_l, den_h, den_l)
+        # R = AV - V*lam (dw)
+        th, te = two_prod(vh, lam_h[None, :])
+        tl = te + vh * lam_l[None, :] + vl * lam_h[None, :]
+        rh, re = two_sum(avh, -th)
+        rl = re + (avl - tl)
+        rh, rl = _dw_renorm(rh, rl)
+        # S_ij ~ v_i^T A v_j - delta_ij lam (V is 2^-48-orthonormal here)
+        qtr = jnp.dot(vh.T, rh, precision=_HIGHEST) \
+            + jnp.dot(vh.T, rl, precision=_HIGHEST)
+        gap = lam_h[:, None] - lam_h[None, :]
+        safe = (jnp.abs(qtr) <= 0.1 * jnp.abs(gap)) & (jnp.abs(gap) > tiny)
+        # ---- exact 2x2 Jacobi on unsafe pairs at small column offsets.
+        # The schedule cycles disjoint pair classes: offset-1 pairs at
+        # both parities, then offset-2 pairs at all four phases —
+        # without the offset-2 classes, a cluster of >= 3 columns can
+        # reach a FIXED POINT where both adjacent couplings are resolved
+        # but the skip-one coupling is large (unsafe, so never corrected)
+        # and never rotated (measured on planted degenerate triples).
+        dist, phase = [(1, 0), (1, 1), (2, 0), (2, 2),
+                       (2, 1), (2, 3)][sweep % 6]
+        a_idx = cols[phase:n - dist:2 * dist]
+        b_idx = a_idx + dist
+        sab = qtr[a_idx, b_idx]
+        saa = lam_h[a_idx]
+        sbb = lam_h[b_idx]
+        # rotate only couplings above the dw noise floor: a degenerate
+        # pair with |S| at noise level would otherwise rotate ~45 deg
+        # EVERY sweep (tau ~ 0 -> t ~ 1) and keep re-churning its columns
+        rot_tol = jnp.float32(2.0 ** -36) * scale
+        need = ~safe[a_idx, b_idx] & (jnp.abs(sab) > rot_tol)
+        tau_j = (sbb - saa) / jnp.where(need, 2.0 * sab, 1.0)
+        tsign = jnp.where(tau_j >= 0, 1.0, -1.0)
+        tj = tsign / (jnp.abs(tau_j) + jnp.sqrt(1.0 + tau_j * tau_j))
+        cj = 1.0 / jnp.sqrt(1.0 + tj * tj)
+        sj = tj * cj
+        cj = jnp.where(need, cj, 1.0).astype(jnp.float32)
+        sj = jnp.where(need, sj, 0.0).astype(jnp.float32)
+        ah_, al_, bh_, bl_ = (vh[:, a_idx], vl[:, a_idx],
+                              vh[:, b_idx], vl[:, b_idx])
+        nh_a, nl_a, nh_b, nl_b = _dw_rot_pair(ah_, al_, bh_, bl_,
+                                              cj[None, :], sj[None, :])
+        vh = vh.at[:, a_idx].set(nh_a).at[:, b_idx].set(nh_b)
+        vl = vl.at[:, a_idx].set(nl_a).at[:, b_idx].set(nl_b)
+        # ---- separated-pair first-order correction (guarded).
+        # qtr was measured BEFORE the rotations: any correction that
+        # reads or writes a rotated column is stale (applying it after
+        # the rotation re-injects junk every sweep — measured as a
+        # self-sustaining ~1e-6 residual on degenerate clusters), so
+        # block every pair touching a rotated column; those columns get
+        # their correction on the next sweep, when they are not rotated.
+        rotated = jnp.zeros((n,), bool).at[a_idx].set(need) \
+            .at[b_idx].set(need)
+        blocked = rotated[:, None] | rotated[None, :]
+        # d_j = sum_i qtr_ij / (lam_j - lam_i) v_i = -V (qtr / gap)_j
+        wmat = jnp.where(safe & ~blocked,
+                         1.0 / jnp.where(safe, gap, 1.0), 0.0)
+        d = -jnp.dot(vh, wmat * qtr, precision=_HIGHEST)
+        sh, se = two_sum(vh, d)
+        vh, vl = _dw_renorm(sh, vl + se)
+
+    vh, vl = _newton_ortho(vh, vl, n)
+    vh, vl = _newton_ortho(vh, vl, n)
+
+    # final diagnostics (dw): residual + orthogonality + Rayleigh values
+    avh, avl = _emulated_core(a_hi, a_lo, vh, vl)
+    num_h, num_l = _dw_colsum_prod(vh, vl, avh, avl)
+    den_h, den_l = _dw_colsum_prod(vh, vl, vh, vl)
+    lam_h, lam_l = _dw_div(num_h, num_l, den_h, den_l)
+    th, te = two_prod(vh, lam_h[None, :])
+    tl = te + vh * lam_l[None, :] + vl * lam_h[None, :]
+    rh, re = two_sum(avh, -th)
+    resid = jnp.max(jnp.abs(rh + (re + avl - tl)))
+    gh, gl = _emulated_core(vh.T, vl.T, vh, vl)
+    ortho = jnp.max(jnp.abs((gh - jnp.eye(n, dtype=jnp.float32)) + gl))
+    return vh, vl, lam_h, lam_l, resid, ortho, scale
+
+
+_refine_jit = functools.partial(jax.jit, static_argnames=("iters",))(
+    _refine_impl)
+
+
+def _refine_device(a_hi, a_lo, v0, w32, iters: int = 6):
+    """Backend-aware dispatch of the refinement core.
+
+    XLA:CPU HAZARD (measured, 2026-08): under jit, XLA:CPU sinks
+    duplicated copies of a multiply into consumer fusions and contracts
+    mul+add to FMA (the duplicated product is never rounded), so
+    different consumers of a TwoProd high word see INCONSISTENT values
+    and the error-free transforms silently degrade to f32 — the dw
+    refinement stalls at ~eps32-grade residuals. optimization_barrier
+    does not help (XLA:CPU strips barriers before fusion), and no
+    available xla_cpu flag disables the contraction. XLA:TPU honors the
+    EFTs under jit (validated on-chip: 5e-15 relative at n=1024), so on
+    CPU backends only we run the core eagerly (per-op dispatch keeps
+    every rounding point real); tests exercise exactly what the TPU
+    executes, just op-by-op."""
+    if jax.default_backend() == "cpu":
+        with jax.disable_jit():
+            return _refine_impl(a_hi, a_lo, v0, w32, iters=iters)
+    return _refine_jit(a_hi, a_lo, v0, w32, iters=iters)
+
+
+def RefinedHermitianEigDevice(uplo, A: DistMatrix, iters: int = 6,
+                              a_lo: Optional[np.ndarray] = None
+                              ) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Device-resident refinement of the f32 on-chip eigendecomposition
+    to ~2^-48 residuals. Returns (w ~f64 on host, V hi+lo recombined on
+    host as f64, raw relative residual max|AV - V lam| / max|w|).
+
+    ``a_lo``: optional f32 low words when the true matrix is f64 (A.data
+    then holds the high words); omitted -> A.data IS the matrix.
+    """
+    from .hermitian_eig import HermitianEig
+
+    w, Q = HermitianEig(uplo, A, vectors=True)
+    a_hi = A.global_array().astype(jnp.float32)
+    # symmetrize from the referenced triangle like the host path
+    n = A.m
+    tri = jnp.tril(a_hi) if uplo == 0 else jnp.triu(a_hi)
+    off = jnp.tril(a_hi, -1) if uplo == 0 else jnp.triu(a_hi, 1)
+    a_hi = tri + off.T
+    alo = jnp.zeros_like(a_hi) if a_lo is None else jnp.asarray(
+        a_lo, jnp.float32)
+    v0 = Q.global_array()[:n, :n].astype(jnp.float32)
+    vh, vl, lam_h, lam_l, resid, ortho, scale = _refine_device(
+        a_hi, alo, v0, jnp.asarray(w, jnp.float32)[:n], iters=iters)
+    w64 = np.asarray(lam_h, np.float64) + np.asarray(lam_l, np.float64)
+    V64 = np.asarray(vh, np.float64) + np.asarray(vl, np.float64)
+    order = np.argsort(w64)
+    rel = float(np.asarray(resid)) / float(np.asarray(scale))
+    return w64[order], V64[:, order], rel
