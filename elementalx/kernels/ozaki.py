@@ -99,18 +99,22 @@ def _emulated_core(a_hi32, a_lo32, b_hi32, b_lo32, s: int = _SLICES):
     for (i, j) in order:
         if i + j > s:   # below ~2^-64 relative: negligible
             continue
-        P_blocks = jnp.einsum("mbk,bkn->bmn", A_b[i], B_b[j],
-                              preferred_element_type=jnp.float32)
         scale = A_ulp[i] * B_ulp[j]       # power of two: exact rescale
 
-        def red(carry, p):
+        # the K-block matmul runs INSIDE the scan so only ONE (M, N)
+        # product is live at a time (materializing all nb_k blocks is
+        # (nb_k, M, N) f32 — 8 GB at n=8192, an HBM OOM on one chip)
+        def red(carry, ab):
             hi, lo = carry
+            a_blk, b_blk = ab
+            p = jnp.dot(a_blk, b_blk, preferred_element_type=jnp.float32)
             hi, e = _two_sum(hi, p * scale)
             return (hi, lo + e), None
 
         (p_hi, p_lo), _ = jax.lax.scan(
             red, (jnp.zeros((M, N), jnp.float32),
-                  jnp.zeros((M, N), jnp.float32)), P_blocks)
+                  jnp.zeros((M, N), jnp.float32)),
+            (jnp.moveaxis(A_b[i], 1, 0), B_b[j]))
         C_hi, e1 = _two_sum(C_hi, p_hi)
         C_lo = C_lo + e1 + p_lo
     return C_hi, C_lo

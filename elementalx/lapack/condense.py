@@ -106,6 +106,19 @@ def HermitianTridiag(uplo: UpperOrLower, A: DistMatrix,
     nblk = (ncols + nb - 1) // nb if ncols else 0
     tau = jnp.zeros((M,), a.dtype)
 
+    # panel-fused Pallas latrd (kernels/latrd.py): the whole panel in one
+    # kernel, streaming ONLY the lower triangle — halves the symv HBM
+    # traffic that is this reduction's roofline. f32, unpadded,
+    # single-device, tile-divisible sizes only; otherwise the XLA panel.
+    from ..kernels.common import on_tpu
+    _lat_ts = (2048 if M % 2048 == 0 else
+               1024 if M % 1024 == 0 else 512)
+    use_pallas = (on_tpu() and a.dtype == jnp.float32 and m == M
+                  and M % _lat_ts == 0 and nb <= 128
+                  and A.grid.size == 1)
+    if use_pallas:
+        from ..kernels.latrd import latrd_panel
+
     for b in range(nblk):
         # every step works on the static trailing block (rows/cols >=
         # k0): the panel's per-column Hermitian matvecs and the rank-2w
@@ -115,11 +128,26 @@ def HermitianTridiag(uplo: UpperOrLower, A: DistMatrix,
         # the first subdiagonal)
         k0 = b * nb
         w = min(nb, ncols - k0)
-        at = a[k0:, k0:]
-        Mt = at.shape[0]
-        V = jnp.zeros((Mt, w), a.dtype)
-        W = jnp.zeros((Mt, w), a.dtype)
-        at, V, W, tau = _tridiag_panel(a, at, V, W, tau, k0, w, m - k0)
+        if use_pallas:
+            P, Wg, taup = latrd_panel(a, k0, w, nb=128, ts=_lat_ts)
+            # reconstruct V from P (rows > pivot hold the reflector,
+            # the pivot row is implicitly 1) — saves a kernel output
+            rowsM = jax.lax.broadcasted_iota(jnp.int32, (M, 128), 0)
+            pivs = k0 + jax.lax.broadcasted_iota(jnp.int32, (M, 128), 1) + 1
+            Vg = jnp.where(rowsM > pivs, P, 0.0)
+            Vg = jnp.where(rowsM == pivs, 1.0, Vg)
+            tau = jax.lax.dynamic_update_slice(
+                tau, jax.lax.dynamic_slice(taup, (0,), (w,)), (k0,))
+            a = jax.lax.dynamic_update_slice(a, P[k0:, :w], (k0, k0))
+            V = Vg[k0:, :w]
+            W = Wg[k0:, :w]
+            at = a[k0:, k0:]
+        else:
+            at = a[k0:, k0:]
+            Mt = at.shape[0]
+            V = jnp.zeros((Mt, w), a.dtype)
+            W = jnp.zeros((Mt, w), a.dtype)
+            at, V, W, tau = _tridiag_panel(a, at, V, W, tau, k0, w, m - k0)
         # two-sided trailing update: only touches local columns >= w
         colsN = jax.lax.broadcasted_iota(jnp.int32, at.shape, 1)
         upd = local_gemm(V, jnp.conj(W.T)) + local_gemm(W, jnp.conj(V.T))

@@ -134,6 +134,39 @@ def _dw_rot_pair(ah, al, bh, bl, c, s):
     return (*_dw_renorm(xh, xl), *_dw_renorm(yh, yl))
 
 
+def _window_rr(vh, vl, lam_h, qtr, off, b):
+    """Windowed Rayleigh-Ritz cleanup: batched f32 eigendecomposition of
+    the projected blocks S_w = diag(lam_w) + sym(qtr_w) over contiguous
+    windows of ``b`` sorted columns starting at ``off``, rotating each
+    window's columns by the window eigenbasis.
+
+    This fixes ALL intra-window couplings at once regardless of
+    magnitude — the coarse stage the guarded first-order corrections
+    need when the input basis is f32-solver-grade (couplings ~1e-3 x
+    scale exceed 0.1|gap| across the bulk, so every pair is 'unsafe'
+    and the refinement otherwise freezes at the input residual —
+    measured on-chip at n=4096). f32 U perturbs dw orthonormality at
+    ~eps32; the next sweep's Newton pass restores 2^-48."""
+    n = vh.shape[0]
+    W = (n - off) // b
+    lo, hi = off, off + W * b
+    sub = qtr[lo:hi, lo:hi].reshape(W, b, W, b)
+    diag_blocks = sub[jnp.arange(W), :, jnp.arange(W), :]   # (W, b, b)
+    s_w = 0.5 * (diag_blocks + diag_blocks.transpose(0, 2, 1))
+    s_w += jax.vmap(jnp.diag)(lam_h[lo:hi].reshape(W, b))
+    lam_w, u_w = jnp.linalg.eigh(s_w)
+    u_w = u_w.astype(jnp.float32)
+
+    def rot(m):
+        blk = m[:, lo:hi].reshape(n, W, b)
+        new = jnp.einsum("nwb,wbc->nwc", blk, u_w,
+                         precision=_HIGHEST).reshape(n, W * b)
+        return m.at[:, lo:hi].set(new)
+
+    lam_new = lam_h.at[lo:hi].set(lam_w.reshape(-1).astype(jnp.float32))
+    return rot(vh), rot(vl), lam_new
+
+
 def _refine_impl(a_hi, a_lo, v0, w32, iters: int = 6):
     """Refinement core: f32 A pair + f32 eigenbasis/values in, dw
     eigenpairs + diagnostics out. Everything stays on device.
@@ -159,7 +192,13 @@ def _refine_impl(a_hi, a_lo, v0, w32, iters: int = 6):
     lam_l = jnp.zeros_like(lam_h)
 
     cols = jnp.arange(n)
-    for sweep in range(iters):
+    # large problems enter with f32-SOLVER-grade bases (couplings ~1e-3
+    # x scale): two windowed Rayleigh-Ritz sweeps (offset 0, then b/2)
+    # coarse-clean every intra-window coupling before the guarded
+    # first-order scheme takes over (see _window_rr)
+    rr_b = 256
+    rr = 2 if n >= 2 * rr_b else 0
+    for sweep in range(iters + rr):
         vh, vl = _newton_ortho(vh, vl, n)
         if sweep == 0:  # f32 input basis: one more pass to reach 2^-48
             vh, vl = _newton_ortho(vh, vl, n)
@@ -176,6 +215,11 @@ def _refine_impl(a_hi, a_lo, v0, w32, iters: int = 6):
         # S_ij ~ v_i^T A v_j - delta_ij lam (V is 2^-48-orthonormal here)
         qtr = jnp.dot(vh.T, rh, precision=_HIGHEST) \
             + jnp.dot(vh.T, rl, precision=_HIGHEST)
+        if sweep < rr:
+            off = 0 if sweep % 2 == 0 else rr_b // 2
+            vh, vl, lam_h = _window_rr(vh, vl, lam_h, qtr, off, rr_b)
+            lam_l = jnp.zeros_like(lam_h)
+            continue
         gap = lam_h[:, None] - lam_h[None, :]
         safe = (jnp.abs(qtr) <= 0.1 * jnp.abs(gap)) & (jnp.abs(gap) > tiny)
         # ---- exact 2x2 Jacobi on unsafe pairs at small column offsets.
@@ -186,7 +230,7 @@ def _refine_impl(a_hi, a_lo, v0, w32, iters: int = 6):
         # but the skip-one coupling is large (unsafe, so never corrected)
         # and never rotated (measured on planted degenerate triples).
         dist, phase = [(1, 0), (1, 1), (2, 0), (2, 2),
-                       (2, 1), (2, 3)][sweep % 6]
+                       (2, 1), (2, 3)][(sweep - rr) % 6]
         a_idx = cols[phase:n - dist:2 * dist]
         b_idx = a_idx + dist
         sab = qtr[a_idx, b_idx]
