@@ -156,15 +156,25 @@ def _latrd_kernel(scal, a_hbm, P3, W3, tau_out,
                 tile_copy(nx_i, nx_jb, 1 - slot).start()
 
             tile_copy(i, jb, slot).wait()
-            tile = bufs[slot]
             diag = i == jb
-            t1 = jnp.where(jnp.logical_and(diag, rT < cT), 0.0, tile)
-            t2 = jnp.where(jnp.logical_and(diag, rT <= cT), 0.0, tile)
-            vj = vv3[jb]                           # (1, TS)
-            vi = vv3[i]
-            # y[i rows] += t1 @ v[jb];  y[jb cols] += t2^T @ v[i]
-            y3[i] = y3[i] + _dotg(vj, t1, ((1,), (1,)))
-            y3[jb] = y3[jb] + _dotg(vi, t2, ((1,), (0,)))
+
+            # y[i rows] += tril(tile) @ v[jb]; y[jb cols] += tile^T v[i].
+            # Only diagonal tiles need the triangle masks — guarding with
+            # pl.when keeps the two full-tile VPU selects off the ~S/2x
+            # more numerous off-diagonal tiles.
+            @pl.when(diag)
+            def _():
+                tile = bufs[slot]
+                t1 = jnp.where(rT < cT, 0.0, tile)
+                t2 = jnp.where(rT <= cT, 0.0, tile)
+                y3[i] = y3[i] + _dotg(vv3[jb], t1, ((1,), (1,)))
+                y3[jb] = y3[jb] + _dotg(vv3[i], t2, ((1,), (0,)))
+
+            @pl.when(jnp.logical_not(diag))
+            def _():
+                tile = bufs[slot]
+                y3[i] = y3[i] + _dotg(vv3[jb], tile, ((1,), (1,)))
+                y3[jb] = y3[jb] + _dotg(vv3[i], tile, ((1,), (0,)))
             return nx_i, nx_jb
 
         jax.lax.fori_loop(0, T, tile_body, (s0, s0))

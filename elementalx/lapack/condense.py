@@ -111,8 +111,12 @@ def HermitianTridiag(uplo: UpperOrLower, A: DistMatrix,
     # traffic that is this reduction's roofline. f32, unpadded,
     # single-device, tile-divisible sizes only; otherwise the XLA panel.
     from ..kernels.common import on_tpu
-    _lat_ts = (2048 if M % 2048 == 0 else
-               1024 if M % 1024 == 0 else 512)
+    # ts=1024 measured fastest at 8192 (873 vs 1168 ms panels-only for
+    # ts=2048 — finer tiles track the tril triangle more tightly, so the
+    # streamed traffic is closer to the theoretical half; scratch/
+    # ab_latrd.py sweep)
+    _lat_ts = (1024 if M % 1024 == 0 else
+               512 if M % 512 == 0 else 2048)
     use_pallas = (on_tpu() and a.dtype == jnp.float32 and m == M
                   and M % _lat_ts == 0 and nb <= 128
                   and A.grid.size == 1)

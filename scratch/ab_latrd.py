@@ -12,7 +12,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-ON_TPU = len(sys.argv) > 1 and sys.argv[1] == "tpu"
+ON_TPU = len(sys.argv) > 1 and sys.argv[1] in ("tpu", "xla", "sweep")
+FORCE_XLA = len(sys.argv) > 1 and sys.argv[1] == "xla"
 import jax
 if not ON_TPU:
     jax.config.update("jax_platforms", "cpu")
@@ -110,6 +111,44 @@ def time_tridiag(M, nb):
     print(f"tridiag M={M} nb={nb}: {best*1e3:.1f} ms", flush=True)
 
 
+def time_panels(M, nb, ts):
+    """Panel-only sweep: every latrd panel of an (M, M) reduction,
+    chained in one jit (the trailing rank-2 GEMMs are ~6 ms of the
+    ~1.3 s total at 8192, so panel time ~= driver time)."""
+    from elementalx.kernels.latrd import latrd_panel
+
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((M, M)).astype(np.float32)
+    a = (a + a.T) / 2
+    aj = jnp.asarray(a)
+    nblk = M // nb - 1
+
+    def mk(k):
+        def f(x):
+            # feed each rep's scalar back into the matrix so XLA cannot
+            # hoist the (otherwise loop-invariant) panel chain
+            def rep(_, xx):
+                def pan(b, s):
+                    P, W, tau = latrd_panel(xx, b * nb, nb, nb=nb, ts=ts)
+                    return s + jnp.sum(P[0]) + jnp.sum(W[0]) + jnp.sum(tau)
+                s = jax.lax.fori_loop(0, nblk, pan, jnp.float32(0))
+                return xx + s * 1e-38
+            y = jax.lax.fori_loop(0, k, rep, x)
+            return jnp.sum(y[0])
+        return jax.jit(f)
+
+    f1, f2 = mk(1), mk(3)
+    float(f1(aj)); float(f2(aj))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter(); float(f1(aj))
+        t1 = time.perf_counter(); float(f2(aj))
+        t2 = time.perf_counter()
+        best = min(best, ((t2 - t1) - (t1 - t0)) / 2)
+    print(f"panels-only M={M} nb={nb} ts={ts}: {best*1e3:.1f} ms",
+          flush=True)
+
+
 if __name__ == "__main__":
     if not ON_TPU:
         check_panel(512, 32, 128, 0, 32, interpret=True)
@@ -117,6 +156,15 @@ if __name__ == "__main__":
         check_panel(512, 32, 128, 448, 16, interpret=True)  # short last
         check_panel(512, 128, 128, 128, 128, interpret=True)
         print("interpreter OK", flush=True)
+    elif len(sys.argv) > 1 and sys.argv[1] == "sweep":
+        for ts in (512,):
+            time_panels(8192, 128, ts)
+        time_tridiag(8192, 128)   # full driver at the retuned gate ts
+    elif FORCE_XLA:
+        # same-session A/B: disable the Pallas gate, time the XLA panel
+        import elementalx.kernels.common as KC
+        KC.on_tpu = lambda: False
+        time_tridiag(8192, 128)
     else:
         check_panel(2048, 128, 512, 0, 128, interpret=False)
         check_panel(2048, 128, 512, 512, 128, interpret=False)
