@@ -147,6 +147,19 @@ def _chol_lower_left(a: jax.Array, nb: int, precision=None,
     # numerically identical to the f32-carrier whole-matrix scheme).
     low = a.dtype in (jnp.bfloat16, jnp.float16)
     cdt = jnp.float32 if low else a.dtype
+    # fused Pallas panel tail (kernels/potrf.py): chol(A11) + tri_inv +
+    # the A21 @ inv(L11)^H matmul in ONE kernel — removes the three
+    # per-panel XLA dispatches whose fixed/sequential cost is the gap
+    # to MXU peak (VERDICT r4 item 1). f32 carriers, tile-divisible.
+    import os
+
+    from ..kernels.common import on_tpu
+
+    fuse_tail = (on_tpu() and cdt == jnp.float32 and M % nb == 0
+                 and nb % 128 == 0
+                 and not os.environ.get("ELX_NO_PALLAS_POTRF"))
+    if fuse_tail:
+        from ..kernels.potrf import potrf_panel_tail
     Lbuf = jnp.zeros((M, M), sdt)
     for k0 in range(0, M, nb):
         w = min(nb, M - k0)
@@ -157,6 +170,13 @@ def _chol_lower_left(a: jax.Array, nb: int, precision=None,
             pan = pan - jnp.matmul(hist, jnp.conj(row.T),
                                    precision=precision,
                                    preferred_element_type=cdt)
+        if fuse_tail:
+            a11 = pan[:w]
+            sym = jnp.tril(a11) + jnp.tril(a11, -1).T
+            blk = potrf_panel_tail(sym, pan,
+                                   low_apply=low).astype(sdt)
+            Lbuf = jax.lax.dynamic_update_slice(Lbuf, blk, (k0, k0))
+            continue
         a11 = pan[:w]
         l11 = jax.lax.linalg.cholesky(a11, symmetrize_input=False)
         blk = l11.astype(sdt)

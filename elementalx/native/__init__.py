@@ -120,6 +120,23 @@ def _load():
             np.ctypeslib.ndpointer(np.int32, flags="C"),
             np.ctypeslib.ndpointer(np.int32, flags="C"),
         ]
+        if hasattr(lib, "elx_sn_symbolic"):
+            lib.elx_sn_symbolic.restype = ctypes.c_longlong
+            lib.elx_sn_symbolic.argtypes = [
+                ctypes.c_int,
+                np.ctypeslib.ndpointer(np.int64, flags="C"),
+                np.ctypeslib.ndpointer(np.int32, flags="C"),
+                np.ctypeslib.ndpointer(np.int64, flags="C"),
+                ctypes.c_int,
+                np.ctypeslib.ndpointer(np.int64, flags="C"),
+                np.ctypeslib.ndpointer(np.int64, flags="C"),
+                np.ctypeslib.ndpointer(np.int64, flags="C"),
+                np.ctypeslib.ndpointer(np.int64, flags="C"),
+                np.ctypeslib.ndpointer(np.int64, flags="C"),
+                np.ctypeslib.ndpointer(np.int64, flags="C"),
+                np.ctypeslib.ndpointer(np.int64, flags="C"),
+                ctypes.c_longlong,
+            ]
         lib.elx_hess_qr.restype = ctypes.c_int
         lib.elx_hess_qr.argtypes = [
             ctypes.c_int,
@@ -390,3 +407,41 @@ def real_chase_native(Tw: np.ndarray, shifts: np.ndarray, nb: int,
     if rc != 0:
         raise RuntimeError(f"elx_real_chase rc={rc}")
     return U
+
+
+def sn_symbolic(colptr: np.ndarray, rowind: np.ndarray, n: int,
+                perm0: np.ndarray, sn_max: int):
+    """Native supernodal symbolic analysis (native/elx_symbolic.cpp):
+    permute -> etree -> postorder -> relabel -> etree -> per-column
+    structures -> width-capped fundamental supernodes, in one C++ pass
+    (the Python set-based propagation cost ~70 s at 90k dof). Returns
+    (permT, parent, sn_start, snid, sn_parent, sn_rows_list) or None
+    when the native library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "elx_sn_symbolic"):
+        return None
+    colptr = np.ascontiguousarray(colptr, np.int64)
+    rowind = np.ascontiguousarray(rowind, np.int32)
+    perm0 = np.ascontiguousarray(perm0, np.int64)
+    permT = np.zeros(n, np.int64)
+    parent = np.zeros(n, np.int64)
+    sn_start = np.zeros(n + 1, np.int64)
+    snid = np.zeros(n, np.int64)
+    sn_parent = np.zeros(n, np.int64)
+    rowptr = np.zeros(n + 1, np.int64)
+    cap = max(4 * rowind.shape[0] + 16 * n, 1)
+    for _ in range(3):
+        rows = np.zeros(cap, np.int64)
+        nsn = lib.elx_sn_symbolic(n, colptr, rowind, perm0, sn_max,
+                                  permT, parent, sn_start, snid,
+                                  sn_parent, rowptr, rows, cap)
+        if nsn >= 0:
+            nsn = int(nsn)
+            sn_rows = [rows[rowptr[s]:rowptr[s + 1]].copy()
+                       for s in range(nsn)]
+            return (permT, parent, sn_start[:nsn + 1].copy(),
+                    snid, sn_parent[:nsn].copy(), sn_rows)
+        if nsn == -1:
+            return None
+        cap = int(-nsn)
+    return None

