@@ -48,7 +48,7 @@ class HermitianEigCtrl(NamedTuple):
     use_sdc: bool = False
     sort: SortType = ASCENDING
     refine: bool = False
-    refine_iters: int = 3
+    refine_iters: int = 8  # CAP: the device path exits early on plateau
 
 
 def HermitianEig(uplo: UpperOrLower, A: DistMatrix, vectors: bool = True,
@@ -63,15 +63,30 @@ def HermitianEig(uplo: UpperOrLower, A: DistMatrix, vectors: bool = True,
     results independent of the x64 flag."""
     ctrl = ctrl or HermitianEigCtrl()
     if ctrl.refine:
-        if not vectors:
-            # eigenvalues-only refinement still needs the vectors as the
-            # Rayleigh frame; compute and drop them
+        # TPU backends dispatch to the DEVICE-RESIDENT dw refinement
+        # (lapack/refine_device.py — Ozaki products on the MXU, only a
+        # per-sweep residual scalar leaves the device, early exit on
+        # plateau); the host-orchestrated path stays for CPU backends
+        # (where XLA:CPU's FMA contraction breaks the on-device EFTs —
+        # see refine_device._refine_device) and for complex input
+        # (the axon tunnel cannot move complex buffers).
+        from ..kernels.common import on_tpu
+
+        use_device = on_tpu() and not jnp.iscomplexobj(A.data)
+        if use_device:
+            from .refine_device import RefinedHermitianEigDevice
+
+            w64, V64, _ = RefinedHermitianEigDevice(
+                uplo, A, iters=ctrl.refine_iters)
+        else:
             from .refine import RefinedHermitianEig
-            w64, _, _ = RefinedHermitianEig(uplo, A,
-                                            iters=ctrl.refine_iters)
+
+            w64, V64, _ = RefinedHermitianEig(uplo, A,
+                                              iters=ctrl.refine_iters)
+        if not vectors:
+            # eigenvalues-only refinement still needs the vectors as
+            # the Rayleigh frame; compute and drop them
             return jnp.asarray(w64)
-        from .refine import RefinedHermitianEig
-        w64, V64, _ = RefinedHermitianEig(uplo, A, iters=ctrl.refine_iters)
         Q = DistMatrix.from_global(jnp.asarray(V64), MC, MR, A.grid)
         return jnp.asarray(w64), Q
     return _hermitian_eig_jit(uplo, A, vectors,

@@ -167,114 +167,127 @@ def _window_rr(vh, vl, lam_h, qtr, off, b):
     return rot(vh), rot(vl), lam_new
 
 
-def _refine_impl(a_hi, a_lo, v0, w32, iters: int = 6):
-    """Refinement core: f32 A pair + f32 eigenbasis/values in, dw
-    eigenpairs + diagnostics out. Everything stays on device.
-
-    Per sweep: Newton orthonormalization, then a separated-pair
-    Rayleigh-quotient correction GUARDED per pair (zeroed where the
-    first-order step |qtr_ij| > 0.1 |gap_ij| would not be a small
-    correction — exactly where a naive pole sum diverges on clustered
-    f32 spectra), with the guarded pairs handled instead by EXACT 2x2
-    Jacobi rotations on adjacent (odd/even parity alternating) columns
-    in eigenvalue order: the rotation angle is bounded by construction,
-    so tight clusters converge without small-denominator blowup."""
-    n = a_hi.shape[0]
-    scale = jnp.maximum(jnp.max(jnp.abs(w32)), 1e-30).astype(jnp.float32)
-    tiny = (8 * np.finfo(np.float32).eps) * scale
-
-    # enter in ascending eigenvalue order (adjacent columns = adjacent
-    # eigenvalues, so parity pairing sweeps real clusters)
+def _refine_setup(v0, w32):
+    """Enter in ascending eigenvalue order (adjacent columns = adjacent
+    eigenvalues, so parity pairing sweeps real clusters)."""
     order0 = jnp.argsort(w32)
     vh = v0[:, order0].astype(jnp.float32)
     vl = jnp.zeros_like(vh)
     lam_h = jnp.sort(w32).astype(jnp.float32)
     lam_l = jnp.zeros_like(lam_h)
+    scale = jnp.maximum(jnp.max(jnp.abs(w32)), 1e-30).astype(jnp.float32)
+    return vh, vl, lam_h, lam_l, scale
 
-    cols = jnp.arange(n)
-    # large problems enter with f32-SOLVER-grade bases (couplings ~1e-3
-    # x scale): two windowed Rayleigh-Ritz sweeps (offset 0, then b/2)
-    # coarse-clean every intra-window coupling before the guarded
-    # first-order scheme takes over (see _window_rr)
-    rr_b = 256
-    rr = 2 if n >= 2 * rr_b else 0
-    for sweep in range(iters + rr):
+
+def _sweep_head(a_hi, a_lo, vh, vl, extra_newton: bool):
+    """Shared per-sweep prefix: Newton orthonormalization, dw Rayleigh
+    values, dw residual R and projected couplings qtr. Returns the
+    updated basis, values, qtr and the max-|R| residual scalar (the
+    early-exit observable)."""
+    n = a_hi.shape[0]
+    vh, vl = _newton_ortho(vh, vl, n)
+    if extra_newton:  # f32 input basis: one more pass to reach 2^-48
         vh, vl = _newton_ortho(vh, vl, n)
-        if sweep == 0:  # f32 input basis: one more pass to reach 2^-48
-            vh, vl = _newton_ortho(vh, vl, n)
-        avh, avl = _emulated_core(a_hi, a_lo, vh, vl)
-        num_h, num_l = _dw_colsum_prod(vh, vl, avh, avl)
-        den_h, den_l = _dw_colsum_prod(vh, vl, vh, vl)
-        lam_h, lam_l = _dw_div(num_h, num_l, den_h, den_l)
-        # R = AV - V*lam (dw)
-        th, te = two_prod(vh, lam_h[None, :])
-        tl = te + vh * lam_l[None, :] + vl * lam_h[None, :]
-        rh, re = two_sum(avh, -th)
-        rl = re + (avl - tl)
-        rh, rl = _dw_renorm(rh, rl)
-        # S_ij ~ v_i^T A v_j - delta_ij lam (V is 2^-48-orthonormal here)
-        qtr = jnp.dot(vh.T, rh, precision=_HIGHEST) \
-            + jnp.dot(vh.T, rl, precision=_HIGHEST)
-        if sweep < rr:
-            off = 0 if sweep % 2 == 0 else rr_b // 2
-            vh, vl, lam_h = _window_rr(vh, vl, lam_h, qtr, off, rr_b)
-            lam_l = jnp.zeros_like(lam_h)
-            continue
-        gap = lam_h[:, None] - lam_h[None, :]
-        safe = (jnp.abs(qtr) <= 0.1 * jnp.abs(gap)) & (jnp.abs(gap) > tiny)
-        # ---- exact 2x2 Jacobi on unsafe pairs at small column offsets.
-        # The schedule cycles disjoint pair classes: offset-1 pairs at
-        # both parities, then offset-2 pairs at all four phases —
-        # without the offset-2 classes, a cluster of >= 3 columns can
-        # reach a FIXED POINT where both adjacent couplings are resolved
-        # but the skip-one coupling is large (unsafe, so never corrected)
-        # and never rotated (measured on planted degenerate triples).
-        dist, phase = [(1, 0), (1, 1), (2, 0), (2, 2),
-                       (2, 1), (2, 3)][(sweep - rr) % 6]
-        a_idx = cols[phase:n - dist:2 * dist]
-        b_idx = a_idx + dist
-        sab = qtr[a_idx, b_idx]
-        saa = lam_h[a_idx]
-        sbb = lam_h[b_idx]
-        # rotate only couplings above the dw noise floor: a degenerate
-        # pair with |S| at noise level would otherwise rotate ~45 deg
-        # EVERY sweep (tau ~ 0 -> t ~ 1) and keep re-churning its columns
-        rot_tol = jnp.float32(2.0 ** -36) * scale
-        need = ~safe[a_idx, b_idx] & (jnp.abs(sab) > rot_tol)
-        tau_j = (sbb - saa) / jnp.where(need, 2.0 * sab, 1.0)
-        tsign = jnp.where(tau_j >= 0, 1.0, -1.0)
-        tj = tsign / (jnp.abs(tau_j) + jnp.sqrt(1.0 + tau_j * tau_j))
-        cj = 1.0 / jnp.sqrt(1.0 + tj * tj)
-        sj = tj * cj
-        cj = jnp.where(need, cj, 1.0).astype(jnp.float32)
-        sj = jnp.where(need, sj, 0.0).astype(jnp.float32)
-        ah_, al_, bh_, bl_ = (vh[:, a_idx], vl[:, a_idx],
-                              vh[:, b_idx], vl[:, b_idx])
-        nh_a, nl_a, nh_b, nl_b = _dw_rot_pair(ah_, al_, bh_, bl_,
-                                              cj[None, :], sj[None, :])
-        vh = vh.at[:, a_idx].set(nh_a).at[:, b_idx].set(nh_b)
-        vl = vl.at[:, a_idx].set(nl_a).at[:, b_idx].set(nl_b)
-        # ---- separated-pair first-order correction (guarded).
-        # qtr was measured BEFORE the rotations: any correction that
-        # reads or writes a rotated column is stale (applying it after
-        # the rotation re-injects junk every sweep — measured as a
-        # self-sustaining ~1e-6 residual on degenerate clusters), so
-        # block every pair touching a rotated column; those columns get
-        # their correction on the next sweep, when they are not rotated.
-        rotated = jnp.zeros((n,), bool).at[a_idx].set(need) \
-            .at[b_idx].set(need)
-        blocked = rotated[:, None] | rotated[None, :]
-        # d_j = sum_i qtr_ij / (lam_j - lam_i) v_i = -V (qtr / gap)_j
-        wmat = jnp.where(safe & ~blocked,
-                         1.0 / jnp.where(safe, gap, 1.0), 0.0)
-        d = -jnp.dot(vh, wmat * qtr, precision=_HIGHEST)
-        sh, se = two_sum(vh, d)
-        vh, vl = _dw_renorm(sh, vl + se)
+    avh, avl = _emulated_core(a_hi, a_lo, vh, vl)
+    num_h, num_l = _dw_colsum_prod(vh, vl, avh, avl)
+    den_h, den_l = _dw_colsum_prod(vh, vl, vh, vl)
+    lam_h, lam_l = _dw_div(num_h, num_l, den_h, den_l)
+    # R = AV - V*lam (dw)
+    th, te = two_prod(vh, lam_h[None, :])
+    tl = te + vh * lam_l[None, :] + vl * lam_h[None, :]
+    rh, re = two_sum(avh, -th)
+    rl = re + (avl - tl)
+    rh, rl = _dw_renorm(rh, rl)
+    resid = jnp.max(jnp.abs(rh + rl))
+    # S_ij ~ v_i^T A v_j - delta_ij lam (V is 2^-48-orthonormal here)
+    qtr = jnp.dot(vh.T, rh, precision=_HIGHEST) \
+        + jnp.dot(vh.T, rl, precision=_HIGHEST)
+    return vh, vl, lam_h, lam_l, qtr, resid
 
+
+def _refine_rr_step(a_hi, a_lo, vh, vl, lam_h, lam_l, off: int,
+                    extra_newton: bool = False, rr_b: int = 256):
+    """Windowed Rayleigh-Ritz coarse sweep (offset ``off``)."""
+    vh, vl, lam_h, lam_l, qtr, resid = _sweep_head(
+        a_hi, a_lo, vh, vl, extra_newton)
+    vh, vl, lam_h = _window_rr(vh, vl, lam_h, qtr, off, rr_b)
+    return vh, vl, lam_h, jnp.zeros_like(lam_h), resid
+
+
+def _refine_sweep_step(a_hi, a_lo, vh, vl, lam_h, lam_l, scale,
+                       phase_idx: int, extra_newton: bool = False):
+    """One guarded-correction + cyclic-2x2-Jacobi sweep.
+
+    The guarded first-order correction is zeroed where the step
+    |qtr_ij| > 0.1 |gap_ij| would not be small — exactly where a naive
+    pole sum diverges on clustered f32 spectra; those pairs are handled
+    by EXACT 2x2 Jacobi rotations on adjacent (odd/even parity
+    alternating, offset 1 and 2) columns in eigenvalue order, whose
+    angles are bounded by construction."""
+    n = a_hi.shape[0]
+    tiny = (8 * np.finfo(np.float32).eps) * scale
+    cols = jnp.arange(n)
+    vh, vl, lam_h, lam_l, qtr, resid = _sweep_head(
+        a_hi, a_lo, vh, vl, extra_newton)
+    gap = lam_h[:, None] - lam_h[None, :]
+    safe = (jnp.abs(qtr) <= 0.1 * jnp.abs(gap)) & (jnp.abs(gap) > tiny)
+    # ---- exact 2x2 Jacobi on unsafe pairs at small column offsets.
+    # The schedule cycles disjoint pair classes: offset-1 pairs at
+    # both parities, then offset-2 pairs at all four phases —
+    # without the offset-2 classes, a cluster of >= 3 columns can
+    # reach a FIXED POINT where both adjacent couplings are resolved
+    # but the skip-one coupling is large (unsafe, so never corrected)
+    # and never rotated (measured on planted degenerate triples).
+    dist, phase = [(1, 0), (1, 1), (2, 0), (2, 2),
+                   (2, 1), (2, 3)][phase_idx % 6]
+    a_idx = cols[phase:n - dist:2 * dist]
+    b_idx = a_idx + dist
+    sab = qtr[a_idx, b_idx]
+    saa = lam_h[a_idx]
+    sbb = lam_h[b_idx]
+    # rotate only couplings above the dw noise floor: a degenerate
+    # pair with |S| at noise level would otherwise rotate ~45 deg
+    # EVERY sweep (tau ~ 0 -> t ~ 1) and keep re-churning its columns
+    rot_tol = jnp.float32(2.0 ** -36) * scale
+    need = ~safe[a_idx, b_idx] & (jnp.abs(sab) > rot_tol)
+    tau_j = (sbb - saa) / jnp.where(need, 2.0 * sab, 1.0)
+    tsign = jnp.where(tau_j >= 0, 1.0, -1.0)
+    tj = tsign / (jnp.abs(tau_j) + jnp.sqrt(1.0 + tau_j * tau_j))
+    cj = 1.0 / jnp.sqrt(1.0 + tj * tj)
+    sj = tj * cj
+    cj = jnp.where(need, cj, 1.0).astype(jnp.float32)
+    sj = jnp.where(need, sj, 0.0).astype(jnp.float32)
+    ah_, al_, bh_, bl_ = (vh[:, a_idx], vl[:, a_idx],
+                          vh[:, b_idx], vl[:, b_idx])
+    nh_a, nl_a, nh_b, nl_b = _dw_rot_pair(ah_, al_, bh_, bl_,
+                                          cj[None, :], sj[None, :])
+    vh = vh.at[:, a_idx].set(nh_a).at[:, b_idx].set(nh_b)
+    vl = vl.at[:, a_idx].set(nl_a).at[:, b_idx].set(nl_b)
+    # ---- separated-pair first-order correction (guarded).
+    # qtr was measured BEFORE the rotations: any correction that
+    # reads or writes a rotated column is stale (applying it after
+    # the rotation re-injects junk every sweep — measured as a
+    # self-sustaining ~1e-6 residual on degenerate clusters), so
+    # block every pair touching a rotated column; those columns get
+    # their correction on the next sweep, when they are not rotated.
+    rotated = jnp.zeros((n,), bool).at[a_idx].set(need) \
+        .at[b_idx].set(need)
+    blocked = rotated[:, None] | rotated[None, :]
+    # d_j = sum_i qtr_ij / (lam_j - lam_i) v_i = -V (qtr / gap)_j
+    wmat = jnp.where(safe & ~blocked,
+                     1.0 / jnp.where(safe, gap, 1.0), 0.0)
+    d = -jnp.dot(vh, wmat * qtr, precision=_HIGHEST)
+    sh, se = two_sum(vh, d)
+    vh, vl = _dw_renorm(sh, vl + se)
+    return vh, vl, lam_h, lam_l, resid
+
+
+def _refine_finish(a_hi, a_lo, vh, vl):
+    """Final Newton passes + dw diagnostics (residual, orthogonality,
+    Rayleigh values)."""
+    n = a_hi.shape[0]
     vh, vl = _newton_ortho(vh, vl, n)
     vh, vl = _newton_ortho(vh, vl, n)
-
-    # final diagnostics (dw): residual + orthogonality + Rayleigh values
     avh, avl = _emulated_core(a_hi, a_lo, vh, vl)
     num_h, num_l = _dw_colsum_prod(vh, vl, avh, avl)
     den_h, den_l = _dw_colsum_prod(vh, vl, vh, vl)
@@ -285,14 +298,69 @@ def _refine_impl(a_hi, a_lo, v0, w32, iters: int = 6):
     resid = jnp.max(jnp.abs(rh + (re + avl - tl)))
     gh, gl = _emulated_core(vh.T, vl.T, vh, vl)
     ortho = jnp.max(jnp.abs((gh - jnp.eye(n, dtype=jnp.float32)) + gl))
+    return vh, vl, lam_h, lam_l, resid, ortho
+
+
+_rr_jit = functools.partial(jax.jit,
+                            static_argnames=("off", "extra_newton",
+                                             "rr_b"))(_refine_rr_step)
+_sweep_jit = functools.partial(jax.jit,
+                               static_argnames=("phase_idx",
+                                                "extra_newton"))(
+    _refine_sweep_step)
+_finish_jit = jax.jit(_refine_finish)
+
+
+def _refine_impl(a_hi, a_lo, v0, w32, iters: int = 6,
+                 tol: float = 8e-14, history=None):
+    """Refinement core: f32 A pair + f32 eigenbasis/values in, dw
+    eigenpairs + diagnostics out. Host-DRIVEN loop of device-resident
+    jitted sweeps: each sweep reads back ONE residual scalar (29 ms
+    tunnel RTT — negligible against a multi-second sweep) and exits
+    early once max|AV - V lam| / scale <= ``tol`` or the residual
+    plateaus (VERDICT r4 item 4: the fixed iters=6 schedule was
+    unexamined; the measured per-sweep curve lives in PERF.md).
+
+    Per sweep mathematics unchanged from round 3: Newton
+    orthonormalization, windowed Rayleigh-Ritz coarse sweeps first
+    (f32-solver-grade entry bases), then guarded separated-pair
+    corrections + exact 2x2 Jacobi on clustered pairs."""
+    n = a_hi.shape[0]
+    vh, vl, lam_h, lam_l, scale = _refine_setup(v0, w32)
+    scale_f = float(scale)
+    # large problems enter with f32-SOLVER-grade bases (couplings ~1e-3
+    # x scale): two windowed Rayleigh-Ritz sweeps (offset 0, then b/2)
+    # coarse-clean every intra-window coupling before the guarded
+    # first-order scheme takes over (see _window_rr)
+    rr_b = 256
+    rr = 2 if n >= 2 * rr_b else 0
+    prev = np.inf
+    for sweep in range(rr):
+        off = 0 if sweep % 2 == 0 else rr_b // 2
+        vh, vl, lam_h, lam_l, resid = _rr_jit(
+            a_hi, a_lo, vh, vl, lam_h, lam_l, off=off,
+            extra_newton=(sweep == 0), rr_b=rr_b)
+        if history is not None:
+            history.append(float(resid) / scale_f)
+    for sweep in range(iters):
+        vh, vl, lam_h, lam_l, resid = _sweep_jit(
+            a_hi, a_lo, vh, vl, lam_h, lam_l, scale,
+            phase_idx=sweep % 6, extra_newton=(sweep == 0 and rr == 0))
+        rel = float(resid) / scale_f
+        if history is not None:
+            history.append(rel)
+        # resid measures the basis BEFORE this sweep's correction;
+        # plateau = this sweep had nothing left to fix
+        if rel <= tol:
+            break
+        if sweep >= 2 and rel > 0.7 * prev:
+            break
+        prev = rel
+    vh, vl, lam_h, lam_l, resid, ortho = _finish_jit(a_hi, a_lo, vh, vl)
     return vh, vl, lam_h, lam_l, resid, ortho, scale
 
 
-_refine_jit = functools.partial(jax.jit, static_argnames=("iters",))(
-    _refine_impl)
-
-
-def _refine_device(a_hi, a_lo, v0, w32, iters: int = 6):
+def _refine_device(a_hi, a_lo, v0, w32, iters: int = 6, history=None):
     """Backend-aware dispatch of the refinement core.
 
     XLA:CPU HAZARD (measured, 2026-08): under jit, XLA:CPU sinks
@@ -309,12 +377,14 @@ def _refine_device(a_hi, a_lo, v0, w32, iters: int = 6):
     executes, just op-by-op."""
     if jax.default_backend() == "cpu":
         with jax.disable_jit():
-            return _refine_impl(a_hi, a_lo, v0, w32, iters=iters)
-    return _refine_jit(a_hi, a_lo, v0, w32, iters=iters)
+            return _refine_impl(a_hi, a_lo, v0, w32, iters=iters,
+                                history=history)
+    return _refine_impl(a_hi, a_lo, v0, w32, iters=iters, history=history)
 
 
 def RefinedHermitianEigDevice(uplo, A: DistMatrix, iters: int = 6,
-                              a_lo: Optional[np.ndarray] = None
+                              a_lo: Optional[np.ndarray] = None,
+                              history=None
                               ) -> Tuple[np.ndarray, np.ndarray, float]:
     """Device-resident refinement of the f32 on-chip eigendecomposition
     to ~2^-48 residuals. Returns (w ~f64 on host, V hi+lo recombined on
@@ -322,21 +392,27 @@ def RefinedHermitianEigDevice(uplo, A: DistMatrix, iters: int = 6,
 
     ``a_lo``: optional f32 low words when the true matrix is f64 (A.data
     then holds the high words); omitted -> A.data IS the matrix.
+    ``history``: optional list; appends the per-sweep relative residual
+    (the accuracy-vs-sweeps observable).
     """
+    from ..core.types import MC, MR
     from .hermitian_eig import HermitianEig
 
     w, Q = HermitianEig(uplo, A, vectors=True)
-    a_hi = A.global_array().astype(jnp.float32)
-    # symmetrize from the referenced triangle like the host path
     n = A.m
+    # device-resident slices — NO host round-trip of the (n, n) operands
+    # (a global_array() pull costs ~2x64 MB over the tunnel at n=4096)
+    a_hi = A.redistribute(MC, MR).data[:n, :n].astype(jnp.float32)
+    # symmetrize from the referenced triangle like the host path
     tri = jnp.tril(a_hi) if uplo == 0 else jnp.triu(a_hi)
     off = jnp.tril(a_hi, -1) if uplo == 0 else jnp.triu(a_hi, 1)
     a_hi = tri + off.T
     alo = jnp.zeros_like(a_hi) if a_lo is None else jnp.asarray(
         a_lo, jnp.float32)
-    v0 = Q.global_array()[:n, :n].astype(jnp.float32)
+    v0 = Q.redistribute(MC, MR).data[:n, :n].astype(jnp.float32)
     vh, vl, lam_h, lam_l, resid, ortho, scale = _refine_device(
-        a_hi, alo, v0, jnp.asarray(w, jnp.float32)[:n], iters=iters)
+        a_hi, alo, v0, jnp.asarray(w, jnp.float32)[:n], iters=iters,
+        history=history)
     w64 = np.asarray(lam_h, np.float64) + np.asarray(lam_l, np.float64)
     V64 = np.asarray(vh, np.float64) + np.asarray(vl, np.float64)
     order = np.argsort(w64)

@@ -157,7 +157,9 @@ if __name__ == "__main__":
         check_panel(512, 128, 128, 128, 128, interpret=True)
         print("interpreter OK", flush=True)
     elif len(sys.argv) > 1 and sys.argv[1] == "sweep":
-        for ts in (512,):
+        # ADVICE r3: sweep every gate candidate (or take ts from argv)
+        ts_list = tuple(int(t) for t in sys.argv[2:]) or (512, 1024, 2048)
+        for ts in ts_list:
             time_panels(8192, 128, ts)
         time_tridiag(8192, 128)   # full driver at the retuned gate ts
     elif FORCE_XLA:

@@ -38,7 +38,10 @@ def run(n, iters=6):
     t1 = time.perf_counter()
 
     a_hi = jnp.asarray(a)
-    v0 = Q.global_array()[:n, :n].astype(jnp.float32)
+    # device-resident slice: Q.global_array() would pull the (n, n)
+    # basis to host and re-upload (~64 MB each way at n=4096 over the
+    # tunnel) — ADVICE r3
+    v0 = Q.data[:n, :n].astype(jnp.float32)
     w32 = jnp.asarray(w, jnp.float32)[:n]
     # warm the refine compile separately from the timed run
     t2 = time.perf_counter()
