@@ -142,9 +142,18 @@ def _apply_dot(src, inv, low_apply):
     """Streaming trsm apply: in bf16-storage mode the factor is kept in
     bf16 anyway, so the operands truncate to bf16 for a single-pass MXU
     dot (matches the XLA path's DEFAULT-precision matmul); the f32 mode
-    keeps the full-precision dot."""
+    keeps the full-precision dot. Mosaic rejects bf16 operands with an
+    f32 accumulator type ("Bad lhs type"), so the low mode asks for a
+    bf16 result — the MXU still accumulates f32 internally and the
+    driver casts the panel to bf16 storage anyway."""
     if low_apply:
-        return _dot(src.astype(jnp.bfloat16), inv.astype(jnp.bfloat16))
+        # f32 refs, one-pass bf16 MXU contraction: this Mosaic build
+        # rejects bf16 operand/acc vectors outright; the precision
+        # attribute is the supported way to drop to a single pass
+        return jax.lax.dot_general(
+            src, inv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
     return _dot(src, inv)
 
 
@@ -164,6 +173,74 @@ def _potrf_kernel(a11_ref, pan_ref, out_ref, tp, inv_ref, *,
     @pl.when(i > 0)
     def _():
         out_ref[:, :] = _apply_dot(pan_ref[:, :], inv_ref[:, :], low_apply)
+
+
+def _potrf_kernel_full(kidx_ref, a11_ref, pan_ref, out_ref, tp, inv_ref,
+                       *, low_apply: bool):
+    """Shape-uniform variant: the panel is the FULL-HEIGHT (M, w)
+    column; ``kidx_ref[0]`` is the diagonal block's tile index. Tiles
+    above the diagonal write zeros; the diagonal tile factors; tiles
+    below stream the trsm apply. One Mosaic compile serves every panel
+    of the factorization (the (Mt, w) form compiles once per trailing
+    height — 32 distinct kernels at N=16384)."""
+    i = pl.program_id(0)
+    k = kidx_ref[0]
+    w = a11_ref.shape[0]
+
+    @pl.when(i < k)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    @pl.when(i == k)
+    def _():
+        _factor_block(a11_ref, tp, inv_ref, w)
+        L11 = _dot(a11_ref[:, :], inv_ref[:, :])
+        subw = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+        lanew = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+        out_ref[:, :] = jnp.where(subw >= lanew, L11, 0.0)
+
+    @pl.when(i > k)
+    def _():
+        out_ref[:, :] = _apply_dot(pan_ref[:, :], inv_ref[:, :], low_apply)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "low_apply"))
+def potrf_panel_tail_full(sym_a11: jax.Array, pan_full: jax.Array,
+                          kidx, interpret: bool = False,
+                          low_apply: bool = False) -> jax.Array:
+    """Shape-uniform fused panel tail: ``pan_full`` is the full-height
+    (M, w) history-updated column with the diagonal block at tile
+    ``kidx`` (= k0 // w); rows above k0 are ignored and returned as
+    zeros. One compiled kernel serves every panel."""
+    M, w = pan_full.shape
+    assert pan_full.dtype == jnp.float32 and sym_a11.dtype == jnp.float32
+    assert sym_a11.shape == (w, w)
+    assert w % _MID == 0 and M % w == 0
+    kv = jnp.atleast_1d(jnp.asarray(kidx, jnp.int32))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(M // w,),
+        in_specs=[
+            pl.BlockSpec((w, w), lambda i, k: (0, 0)),
+            pl.BlockSpec((w, w), lambda i, k: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((w, w), lambda i, k: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((w, w), jnp.float32),
+            pltpu.VMEM((w, w), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_potrf_kernel_full, low_apply=low_apply),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, w), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=w * w * w + 2 * M * w * w, bytes_accessed=2 * M * w * 4,
+            transcendentals=w),
+    )(kv, sym_a11, pan_full)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "low_apply"))

@@ -147,27 +147,45 @@ def _chol_lower_left(a: jax.Array, nb: int, precision=None,
     # numerically identical to the f32-carrier whole-matrix scheme).
     low = a.dtype in (jnp.bfloat16, jnp.float16)
     cdt = jnp.float32 if low else a.dtype
-    # fused Pallas panel tail (kernels/potrf.py): chol(A11) + tri_inv +
-    # the A21 @ inv(L11)^H matmul in ONE kernel — removes the three
-    # per-panel XLA dispatches whose fixed/sequential cost is the gap
-    # to MXU peak (VERDICT r4 item 1). f32 carriers, tile-divisible.
+    # opt-in fused Pallas panel tail (kernels/potrf.py). MEASURED NULL
+    # on-chip (scratch/ab_chol7.py, same session): bf16 16384 Pallas
+    # 21.73 vs XLA 21.11 ms — the XLA chol+trinv+matmul tail is already
+    # ~0.1 ms/panel (prof_chol7.py), so there was nothing to fuse away.
+    # Kept behind ELX_PALLAS_POTRF=1 for rechecks on other chips.
     import os
 
     from ..kernels.common import on_tpu
 
     fuse_tail = (on_tpu() and cdt == jnp.float32 and M % nb == 0
                  and nb % 128 == 0
-                 and not os.environ.get("ELX_NO_PALLAS_POTRF"))
+                 and os.environ.get("ELX_PALLAS_POTRF") == "1")
     if fuse_tail:
         from ..kernels.potrf import potrf_panel_tail
+    from ..blas.trinv import tri_inv_lower
+
+    # LOOKAHEAD (measured, scratch/prof_chol8.py): the skeleton of
+    # history gemms + block stores costs only ~8 ms of the ~21 ms
+    # driver at bf16 16384 — the rest is the SERIAL chain panel tail ->
+    # next history gemm (the gemm read of Lbuf[:, :k0] includes the
+    # freshly stored block, so nothing overlaps). Splitting the history
+    # product into "old" columns (available two panels back) and the
+    # previous block's rank-w contribution lets XLA overlap each big
+    # old-history gemm with the previous panel's small serial tail.
     Lbuf = jnp.zeros((M, M), sdt)
+    blk_prev = None
     for k0 in range(0, M, nb):
         w = min(nb, M - k0)
         pan = a[k0:, k0:k0 + w].astype(cdt)
+        j0 = k0 - nb          # column start of the previous panel
         if k0 > 0:
-            hist = Lbuf[k0:, :k0]
-            row = Lbuf[k0:k0 + w, :k0]
-            pan = pan - jnp.matmul(hist, jnp.conj(row.T),
+            if j0 > 0:
+                hist = Lbuf[k0:, :j0]
+                row = Lbuf[k0:k0 + w, :j0]
+                pan = pan - jnp.matmul(hist, jnp.conj(row.T),
+                                       precision=precision,
+                                       preferred_element_type=cdt)
+            bl = blk_prev     # (M - j0, nb): previous factor column
+            pan = pan - jnp.matmul(bl[nb:], jnp.conj(bl[nb:nb + w].T),
                                    precision=precision,
                                    preferred_element_type=cdt)
         if fuse_tail:
@@ -175,20 +193,19 @@ def _chol_lower_left(a: jax.Array, nb: int, precision=None,
             sym = jnp.tril(a11) + jnp.tril(a11, -1).T
             blk = potrf_panel_tail(sym, pan,
                                    low_apply=low).astype(sdt)
-            Lbuf = jax.lax.dynamic_update_slice(Lbuf, blk, (k0, k0))
-            continue
-        a11 = pan[:w]
-        l11 = jax.lax.linalg.cholesky(a11, symmetrize_input=False)
-        blk = l11.astype(sdt)
-        if k0 + w < M:
-            from ..blas.trinv import tri_inv_lower
-
-            inv11 = tri_inv_lower(l11)
-            l21 = jnp.matmul(pan[w:], jnp.conj(inv11.T).astype(pan.dtype),
-                             precision=precision,
-                             preferred_element_type=cdt)
-            blk = jnp.concatenate([blk, l21.astype(sdt)], axis=0)
+        else:
+            a11 = pan[:w]
+            l11 = jax.lax.linalg.cholesky(a11, symmetrize_input=False)
+            blk = l11.astype(sdt)
+            if k0 + w < M:
+                inv11 = tri_inv_lower(l11)
+                l21 = jnp.matmul(pan[w:],
+                                 jnp.conj(inv11.T).astype(pan.dtype),
+                                 precision=precision,
+                                 preferred_element_type=cdt)
+                blk = jnp.concatenate([blk, l21.astype(sdt)], axis=0)
         Lbuf = jax.lax.dynamic_update_slice(Lbuf, blk, (k0, k0))
+        blk_prev = blk
     return Lbuf
 
 

@@ -45,21 +45,25 @@ def run(n, iters=6):
     w32 = jnp.asarray(w, jnp.float32)[:n]
     # warm the refine compile separately from the timed run
     t2 = time.perf_counter()
+    hist = []
     vh, vl, lam_h, lam_l, resid, ortho, scale = RD._refine_device(
-        a_hi, jnp.zeros_like(a_hi), v0, w32, iters=iters)
+        a_hi, jnp.zeros_like(a_hi), v0, w32, iters=iters, history=hist)
     rel = float(resid) / float(scale)
     orel = float(ortho)
     t3 = time.perf_counter()
     # second (compile-warm) refine run for the time
     t4 = time.perf_counter()
+    hist2 = []
     out = RD._refine_device(a_hi, jnp.zeros_like(a_hi), v0, w32,
-                            iters=iters)
+                            iters=iters, history=hist2)
     rel2 = float(out[4]) / float(out[6])
     t5 = time.perf_counter()
     print(f"n={n}: eig(f32) {t1-t0:.2f}s (incl compile)  "
           f"refine cold {t3-t2:.2f}s  warm {t5-t4:.2f}s  "
           f"scaled resid {rel:.2e}/{rel2:.2e}  ortho {orel:.2e}",
           flush=True)
+    print(f"n={n}: accuracy-vs-sweeps (pre-sweep rel resid): "
+          + " ".join(f"{r:.2e}" for r in hist2), flush=True)
 
 
 if __name__ == "__main__":
