@@ -157,7 +157,14 @@ def _getrf_tall(sl: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 def _getrf(sub: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Native getrf when the panel fits scoped VMEM, tournament above."""
+    """Native getrf when the panel fits scoped VMEM, tournament above.
+    The fused Pallas kernel has no custom-call height cliff, so any
+    panel it can hold (16 MB transposed copy, e.g. 8192x512) factors in
+    ONE kernel call with TRUE partial pivoting, skipping the tournament
+    playoff entirely. (A 32 MB full-height 16384x512 attempt OOMed
+    scoped VMEM: Mosaic spilled 120 MB of registers at Mt=16384.)"""
+    if _pallas_getrf_ok(sub.shape, sub.dtype):
+        return _getrf_flat(sub)
     if sub.shape[0] > _GETRF_CHUNK:
         return _getrf_tall(sub)
     return _getrf_flat(sub)
@@ -365,6 +372,30 @@ def LU(A: DistMatrix, blocksize: Optional[int] = None
     hp = hot_precision(a.dtype)
     rowmap = perm0
     N = a.shape[1]
+    # U12 block-rows are written in LOGICAL (pivoted) order into a
+    # separate output buffer `uout` — logical rows [k0, k0+nb) are
+    # final once panel k retires (later panels only permute rows >=
+    # k0+nb), so the write is a plain dense dynamic-update-slice. This
+    # removes the U12 row scatter into the trailing matrix (a full
+    # M x rest copy per panel when XLA cannot alias it). The panel
+    # columns' factor (whose L21 multiplier rows DO keep being
+    # reordered by later pivoting) stays scattered at physical
+    # positions in `a`; one global row gather at the end plus a
+    # block-mask select stitches the two together.
+    #
+    # NULL RESULT (measured on-chip, 2026-08-21): a LEFT-looking
+    # physical-rows variant — history applied to the current panel
+    # only, pan = A(:,J) - Lphys(:,:k0) @ U(:k0,J), exactly 2N^3/3
+    # flops vs this scheme's N^3 full-height trailing updates, and
+    # panel-only writes — measured 318.8 ms vs 249.0 for this scheme
+    # at 16384 f32. Decomposition (scratch/prof_lu2.py): its history
+    # gemms cost 167.8 ms vs 82.2 for the right-looking trailing
+    # updates despite 2/3 the flops — the (M x k0) x nb narrow-output
+    # huge-K gemm shape runs ~17 TF/s effective under HIGH precision
+    # (operand re-reads dominate), while the wide trailing updates
+    # stream at ~53 TF/s. Flop count is not the binding resource here;
+    # gemm SHAPE is.
+    uout = jnp.zeros_like(a)
     for k in range(nblk):
         k0 = k * nb
         tail = rowmap[k0:]
@@ -388,12 +419,14 @@ def LU(A: DistMatrix, blocksize: Optional[int] = None
         prow = tail[:nb]
         Arow = jnp.take(right, prow, axis=0, unique_indices=True)
         U12 = local_gemm(inv11, Arow, precision=hp)
-        right = right.at[prow].set(U12, unique_indices=True)
+        uout = jax.lax.dynamic_update_slice(uout, U12, (k0, k0 + nb))
         Lphys = jnp.zeros((M, nb), a.dtype).at[tail[nb:]].set(
             lu[nb:, :], unique_indices=True)
         right = right - local_gemm(Lphys, U12, precision=hp)
         a = jax.lax.dynamic_update_slice(a, right, (0, k0 + nb))
     a = jnp.take(a, rowmap, axis=0, unique_indices=True)
+    # overlay the logical-order U12 block-rows (block j > block i)
+    a = jnp.where(j2 >= (i2 // nb + 1) * nb, uout, a)
     perm = rowmap
     # restore zero padding diagonal
     a = jnp.where((i2 == j2) & (i2 >= m), jnp.zeros((), a.dtype), a)

@@ -382,6 +382,256 @@ def _refine_device(a_hi, a_lo, v0, w32, iters: int = 6, history=None):
     return _refine_impl(a_hi, a_lo, v0, w32, iters=iters, history=history)
 
 
+def _dw_axpy(xh, xl, d):
+    """dw x + f32 d (error-free accumulate)."""
+    sh, se = two_sum(xh, d)
+    return _dw_renorm(sh, xl + se)
+
+
+def RefinedLinearSolveDevice(A: DistMatrix, b, iters: int = 10,
+                             a_lo=None, history=None):
+    """Device-resident mixed-precision iterative refinement of a general
+    solve: f32 LU factors + dw (Ozaki) residuals, everything on the MXU
+    (VERDICT r4 item 7 — the host `refine.RefinedLinearSolve` re-uploads
+    the operands per sweep; here only the per-iteration residual scalar
+    crosses the tunnel). Returns (x64 on host, scaled residual in the
+    reference's ||r||_inf / (eps64 n ||b||_inf) metric).
+
+    Reference: the LAPACK xGERFS contract the reference meets through
+    vendor solvers (SURVEY §2.6); BASELINE.md correctness configs."""
+    from ..core.types import MC, MR
+    from .lu import LU, SolveAfter
+
+    n = A.m
+    F, P = LU(A)
+    a_hi = A.redistribute(MC, MR).data[:n, :n].astype(jnp.float32)
+    alo = jnp.zeros_like(a_hi) if a_lo is None else jnp.asarray(
+        a_lo, jnp.float32)
+    b64 = np.asarray(b, np.float64).reshape(n, -1)
+    bh = jnp.asarray(b64.astype(np.float32))
+    bl = jnp.asarray((b64 - np.asarray(bh, np.float64)).astype(np.float32))
+
+    @jax.jit
+    def resid_dw(xh, xl):
+        ph, pl = _emulated_core(a_hi, alo, xh, xl)
+        rh, re = two_sum(bh, -ph)
+        rl = re + (bl - pl)
+        rh, rl = _dw_renorm(rh, rl)
+        return rh, rl, jnp.max(jnp.abs(rh + rl))
+
+    from ..core.types import NORMAL as _N
+
+    @jax.jit
+    def step(xh, xl):
+        rh, rl, res = resid_dw(xh, xl)
+        Rdm = DistMatrix.from_global(rh + rl, grid=A.grid)
+        d = SolveAfter(_N, F, P, Rdm).data[:n, :b64.shape[1]]
+        nh, nl = _dw_axpy(xh, xl, d)
+        return nh, nl, res
+
+    xh = jnp.zeros((n, b64.shape[1]), jnp.float32)
+    xl = jnp.zeros_like(xh)
+    prev = np.inf
+    # XLA:CPU strips the EFT rounding points under jit (see
+    # _refine_device) — run the dw loop eagerly there, jitted on TPU
+    with jax.disable_jit(disable=jax.default_backend() == "cpu"):
+        for _ in range(iters):
+            xh, xl, res = step(xh, xl)
+            r = float(res)
+            if history is not None:
+                history.append(r)
+            if not np.isfinite(r) or r >= 0.5 * prev:
+                break
+            prev = r
+        _, _, res = resid_dw(xh, xl)
+    x64 = np.asarray(xh, np.float64) + np.asarray(xl, np.float64)
+    scaled = float(res) / (np.finfo(np.float64).eps * n
+                           * max(np.max(np.abs(b64)), 1e-300))
+    return (x64 if np.asarray(b).ndim > 1 else x64[:, 0]), scaled
+
+
+def _newton_ortho_cols(xh, xl):
+    """Newton orthonormalization generalized to TALL dw bases (m, k)."""
+    k = xh.shape[1]
+    eye = jnp.eye(k, dtype=jnp.float32)
+    gh, gl = _emulated_core(xh.T, xl.T, xh, xl)
+    eh = gh - eye
+    e2 = jnp.dot(eh, eh, precision=_HIGHEST)
+    mh, me = two_sum(-0.5 * eh, 0.375 * e2)
+    ml = me - 0.5 * gl
+    ch, cl = _emulated_core(xh, xl, *_dw_renorm(mh, ml))
+    sh, se = two_sum(xh, ch)
+    return _dw_renorm(sh, xl + se + cl)
+
+
+def _svd_sweep_head(a_hi, a_lo, uh, ul, vh, vl):
+    """Shared SVD sweep prefix: Newton-orthonormalize both bases, dw
+    AV/AtU products, dw Rayleigh singular values, dw residual blocks."""
+    uh, ul = _newton_ortho_cols(uh, ul)
+    vh, vl = _newton_ortho_cols(vh, vl)
+    avh, avl = _emulated_core(a_hi, a_lo, vh, vl)          # (m, k)
+    tuh, tul = _emulated_core(a_hi.T, a_lo.T, uh, ul)      # (n, k)
+    sh, sl = _dw_colsum_prod(uh, ul, avh, avl)             # sigma (dw)
+    # R = AV - U sig ; P = AtU - V sig (dw)
+    th, te = two_prod(uh, sh[None, :])
+    tl = te + uh * sl[None, :] + ul * sh[None, :]
+    rh, re = two_sum(avh, -th)
+    rl = re + (avl - tl)
+    rh, rl = _dw_renorm(rh, rl)
+    qh, qe = two_prod(vh, sh[None, :])
+    ql = qe + vh * sl[None, :] + vl * sh[None, :]
+    ph, pe = two_sum(tuh, -qh)
+    pl = pe + (tul - ql)
+    ph, pl = _dw_renorm(ph, pl)
+    resid = jnp.maximum(jnp.max(jnp.abs(rh + rl)),
+                        jnp.max(jnp.abs(ph + pl)))
+    c1 = jnp.dot(uh.T, rh, precision=_HIGHEST) \
+        + jnp.dot(uh.T, rl, precision=_HIGHEST)
+    c2 = jnp.dot(vh.T, ph, precision=_HIGHEST) \
+        + jnp.dot(vh.T, pl, precision=_HIGHEST)
+    return uh, ul, vh, vl, sh, (rh, rl), c1, c2, resid
+
+
+def _svd_rr_step(a_hi, a_lo, uh, ul, vh, vl, sig, off: int, b: int = 256):
+    """Windowed SVD Rayleigh-Ritz coarse sweep: batched small SVDs of
+    the projected blocks B_w = diag(sig_w) + C_w over contiguous windows
+    of sorted singular values; rotates BOTH bases by the window factors.
+    The coarse stage an f32-solver-grade entry basis needs before
+    first-order corrections can act (same rationale as _window_rr)."""
+    uh, ul, vh, vl, sh, _, c1, _, resid = _svd_sweep_head(
+        a_hi, a_lo, uh, ul, vh, vl)
+    k = uh.shape[1]
+    W = (k - off) // b
+    lo, hi = off, off + W * b
+    sub = c1[lo:hi, lo:hi].reshape(W, b, W, b)
+    diag_blocks = sub[jnp.arange(W), :, jnp.arange(W), :]
+    b_w = diag_blocks + jax.vmap(jnp.diag)(sh[lo:hi].reshape(W, b))
+    uw, sw, vwt = jnp.linalg.svd(b_w, full_matrices=False)
+    # ascending order inside each window (global order is ascending)
+    uw = uw[:, :, ::-1].astype(jnp.float32)
+    vw = vwt.transpose(0, 2, 1)[:, :, ::-1].astype(jnp.float32)
+    sw = sw[:, ::-1]
+
+    def rot(m, f):
+        blk = m[:, lo:hi].reshape(m.shape[0], W, b)
+        new = jnp.einsum("nwb,wbc->nwc", blk, f,
+                         precision=_HIGHEST).reshape(m.shape[0], W * b)
+        return m.at[:, lo:hi].set(new)
+
+    sig = sh.at[lo:hi].set(sw.reshape(-1).astype(jnp.float32))
+    return rot(uh, uw), rot(ul, uw), rot(vh, vw), rot(vl, vw), sig, resid
+
+
+def _svd_sweep_step(a_hi, a_lo, uh, ul, vh, vl, sig, scale):
+    """One guarded first-order SVD correction sweep (the implicit
+    Jordan-Wielandt form of the eigen sweep — see refine.RefinedSVD for
+    the algebra; here everything device-resident in dw)."""
+    uh, ul, vh, vl, sh, (rh, rl), c1, c2, resid = _svd_sweep_head(
+        a_hi, a_lo, uh, ul, vh, vl)
+    tiny = (8 * np.finfo(np.float32).eps) * scale
+    gp = sh[:, None] - sh[None, :]
+    gm = -sh[:, None] - sh[None, :]
+    a_ = 0.5 * (c1 + c2)
+    b_ = 0.5 * (c1 - c2)
+    okp = (jnp.abs(a_) <= 0.1 * jnp.abs(gp)) & (jnp.abs(gp) > tiny)
+    okm = (jnp.abs(b_) <= 0.1 * jnp.abs(gm)) & (jnp.abs(gm) > tiny)
+    wp = jnp.where(okp, a_ / jnp.where(okp, gp, 1.0), 0.0)
+    wm = jnp.where(okm, b_ / jnp.where(okm, gm, 1.0), 0.0)
+    du = jnp.dot(uh, wp + wm, precision=_HIGHEST)
+    dv = jnp.dot(vh, wp - wm, precision=_HIGHEST)
+    # out-of-span left correction (m > n): (I - U U^T) R / sig
+    ssafe = jnp.where(jnp.abs(sh) > tiny, sh, 1.0)
+    uperp = jnp.where(jnp.abs(sh) > tiny, 1.0 / ssafe, 0.0)[None, :] * (
+        (rh + rl) - jnp.dot(uh, c1, precision=_HIGHEST))
+    uh, ul = _dw_axpy(uh, ul, uperp - du)
+    vh, vl = _dw_axpy(vh, vl, -dv)
+    return uh, ul, vh, vl, sh, resid
+
+
+def _svd_finish(a_hi, a_lo, uh, ul, vh, vl):
+    uh, ul = _newton_ortho_cols(uh, ul)
+    uh, ul = _newton_ortho_cols(uh, ul)
+    vh, vl = _newton_ortho_cols(vh, vl)
+    vh, vl = _newton_ortho_cols(vh, vl)
+    avh, avl = _emulated_core(a_hi, a_lo, vh, vl)
+    sh, sl = _dw_colsum_prod(uh, ul, avh, avl)
+    th, te = two_prod(uh, sh[None, :])
+    tl = te + uh * sl[None, :] + ul * sh[None, :]
+    rh, re = two_sum(avh, -th)
+    resid = jnp.max(jnp.abs(rh + (re + avl - tl)))
+    k = uh.shape[1]
+    gh, gl = _emulated_core(uh.T, ul.T, uh, ul)
+    ortho_u = jnp.max(jnp.abs((gh - jnp.eye(k, dtype=jnp.float32)) + gl))
+    gh, gl = _emulated_core(vh.T, vl.T, vh, vl)
+    ortho_v = jnp.max(jnp.abs((gh - jnp.eye(k, dtype=jnp.float32)) + gl))
+    return uh, ul, vh, vl, sh, sl, resid, jnp.maximum(ortho_u, ortho_v)
+
+
+_svd_rr_jit = functools.partial(jax.jit, static_argnames=("off", "b"))(
+    _svd_rr_step)
+_svd_sweep_jit = jax.jit(_svd_sweep_step)
+_svd_finish_jit = jax.jit(_svd_finish)
+
+
+def RefinedSVDDevice(A: DistMatrix, iters: int = 6, a_lo=None,
+                     tol: float = 8e-14, history=None):
+    """Device-resident dw refinement of the f32 on-chip SVD (real A,
+    m >= n) to ~2^-48 residuals — the SVD face of
+    `RefinedHermitianEigDevice` (VERDICT r4 item 7). Host-driven sweep
+    loop with one residual scalar readback per sweep and early exit.
+    Returns (U64, s64 descending, V64, relative residual
+    max(|AV - U s|, |A^T U - V s|) / s_max)."""
+    from ..core.types import MC, MR
+    from .svd import SVD
+
+    m, n = A.m, A.n
+    Udm, s32, Vdm = SVD(A)
+    a_hi = A.redistribute(MC, MR).data[:m, :n].astype(jnp.float32)
+    alo = jnp.zeros_like(a_hi) if a_lo is None else jnp.asarray(
+        a_lo, jnp.float32)
+    s32 = jnp.asarray(s32, jnp.float32)[:n]
+    order0 = jnp.argsort(s32)
+    uh = Udm.redistribute(MC, MR).data[:m, :n][:, order0].astype(
+        jnp.float32)
+    vh = Vdm.redistribute(MC, MR).data[:n, :n][:, order0].astype(
+        jnp.float32)
+    ul = jnp.zeros_like(uh)
+    vl = jnp.zeros_like(vh)
+    sig = jnp.sort(s32)
+    scale = float(jnp.maximum(jnp.max(jnp.abs(s32)), 1e-30))
+    rr_b = 256
+    rr = 2 if n >= 2 * rr_b else 0
+    prev = np.inf
+    # XLA:CPU strips the EFT rounding points under jit — run eagerly
+    # there (see _refine_device)
+    with jax.disable_jit(disable=jax.default_backend() == "cpu"):
+        for sweep in range(rr):
+            off = 0 if sweep % 2 == 0 else rr_b // 2
+            uh, ul, vh, vl, sig, resid = _svd_rr_jit(
+                a_hi, alo, uh, ul, vh, vl, sig, off=off, b=rr_b)
+            if history is not None:
+                history.append(float(resid) / scale)
+        for sweep in range(iters):
+            uh, ul, vh, vl, sig, resid = _svd_sweep_jit(
+                a_hi, alo, uh, ul, vh, vl, sig, jnp.float32(scale))
+            rel = float(resid) / scale
+            if history is not None:
+                history.append(rel)
+            if rel <= tol:
+                break
+            if sweep >= 2 and rel > 0.7 * prev:
+                break
+            prev = rel
+        uh, ul, vh, vl, sh, sl, resid, ortho = _svd_finish_jit(
+            a_hi, alo, uh, ul, vh, vl)
+    s64 = np.asarray(sh, np.float64) + np.asarray(sl, np.float64)
+    U64 = np.asarray(uh, np.float64) + np.asarray(ul, np.float64)
+    V64 = np.asarray(vh, np.float64) + np.asarray(vl, np.float64)
+    order = np.argsort(-s64)
+    rel = float(np.asarray(resid)) / scale
+    return U64[:, order], s64[order], V64[:, order], rel
+
+
 def RefinedHermitianEigDevice(uplo, A: DistMatrix, iters: int = 6,
                               a_lo: Optional[np.ndarray] = None,
                               history=None

@@ -94,6 +94,60 @@ def test_refined_eig_device_driver():
     assert rel < 1e-11
 
 
+def test_refined_linear_solve_device():
+    """Device-resident LU-IR reaches ~f64 residuals from f32 factors."""
+    import elementalx as El
+    import jax
+    from elementalx import DistMatrix
+    from elementalx.lapack.refine_device import RefinedLinearSolveDevice
+
+    rng = np.random.default_rng(9)
+    n = 192
+    a64 = rng.standard_normal((n, n)) + n * np.eye(n) * 0.1
+    b64 = rng.standard_normal(n)
+    hi = a64.astype(np.float32)
+    lo = (a64 - hi.astype(np.float64)).astype(np.float32)
+    grid = El.Grid(devices=jax.devices()[:1])
+    A = DistMatrix.from_global(jnp.asarray(hi), grid=grid)
+    hist = []
+    x, scaled = RefinedLinearSolveDevice(A, b64, a_lo=lo, history=hist)
+    atrue = hi.astype(np.float64) + lo.astype(np.float64)
+    xref = np.linalg.solve(atrue, b64)
+    relerr = np.max(np.abs(x - xref)) / max(np.max(np.abs(xref)), 1e-30)
+    assert scaled < 100          # the reference's < 100 scaled-resid bar
+    assert relerr < 1e-10
+    assert len(hist) >= 2 and hist[-1] < hist[0]
+
+
+@pytest.mark.parametrize("shape", [(160, 160), (224, 160)])
+def test_refined_svd_device(shape):
+    """Device-resident dw SVD refinement: ~f64 residuals + singular
+    values matching an f64 oracle (square and tall)."""
+    import elementalx as El
+    import jax
+    from elementalx import DistMatrix
+    from elementalx.lapack.refine_device import RefinedSVDDevice
+
+    rng = np.random.default_rng(13)
+    m, n = shape
+    a64 = rng.standard_normal((m, n))
+    hi = a64.astype(np.float32)
+    lo = (a64 - hi.astype(np.float64)).astype(np.float32)
+    grid = El.Grid(devices=jax.devices()[:1])
+    A = DistMatrix.from_global(jnp.asarray(hi), grid=grid)
+    U, s, V, rel = RefinedSVDDevice(A, a_lo=lo)
+    atrue = hi.astype(np.float64) + lo.astype(np.float64)
+    sref = np.linalg.svd(atrue, compute_uv=False)
+    scale = max(sref[0], 1e-30)
+    assert np.max(np.abs(s - sref)) / scale < 1e-11
+    resid = np.max(np.abs(atrue @ V - U * s[None, :])) / scale
+    residT = np.max(np.abs(atrue.T @ U - V * s[None, :])) / scale
+    assert resid < 1e-11 and residT < 1e-11, (resid, residT)
+    assert np.max(np.abs(U.T @ U - np.eye(n))) < 1e-11
+    assert np.max(np.abs(V.T @ V - np.eye(n))) < 1e-11
+    assert rel < 1e-11
+
+
 def test_window_rr_cleanup():
     """The windowed Rayleigh-Ritz stage (`_window_rr`) must fix
     arbitrary-magnitude couplings WITHIN a window in one shot: start
