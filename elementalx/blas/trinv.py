@@ -35,10 +35,18 @@ def _next_pow2(x: int) -> int:
     return p
 
 
-def tri_inv_upper(U: jax.Array, base: int = _BASE) -> jax.Array:
+def tri_inv_upper(U: jax.Array, base: int = _BASE,
+                  precision=None) -> jax.Array:
     """Inverse of an upper-triangular matrix via batched recursive
     2x2 block partitioning. Entries below the diagonal are ignored.
-    The diagonal must be nonzero (callers guard padding with 1s)."""
+    The diagonal must be nonzero (callers guard padding with 1s).
+
+    ``precision`` governs the doubling-level matmuls (None = the
+    library default, 6-pass HIGHEST for f32). Hot factorization tails
+    pass their panel precision: HIGH (bf16x3, f32-grade) for f32
+    carriers, DEFAULT for bf16-storage paths whose consumer matmuls
+    truncate to bf16 anyway — the inverse feeds a DEFAULT-precision
+    gemm, so extra inverse passes buy nothing."""
     n = U.shape[-1]
     P = max(_next_pow2(n), base)
     i = jax.lax.broadcasted_iota(jnp.int32, (P, P), 0)
@@ -65,7 +73,8 @@ def tri_inv_upper(U: jax.Array, base: int = _BASE) -> jax.Array:
         ks = jnp.arange(npair)
         B = jax.vmap(lambda t: jax.lax.dynamic_slice(
             Up, (2 * t * s, (2 * t + 1) * s), (s, s)))(ks)
-        TR = -jnp.matmul(A, jnp.matmul(B, C))
+        TR = -jnp.matmul(A, jnp.matmul(B, C, precision=precision),
+                         precision=precision)
         top = jnp.concatenate([A, TR], axis=2)
         bot = jnp.concatenate([jnp.zeros_like(TR), C], axis=2)
         L = jnp.concatenate([top, bot], axis=1)
@@ -74,17 +83,19 @@ def tri_inv_upper(U: jax.Array, base: int = _BASE) -> jax.Array:
     return L[0][:n, :n]
 
 
-def tri_inv_lower(Lm: jax.Array, base: int = _BASE) -> jax.Array:
+def tri_inv_lower(Lm: jax.Array, base: int = _BASE,
+                  precision=None) -> jax.Array:
     """Inverse of a lower-triangular matrix (entries above the diagonal
     ignored)."""
-    return tri_inv_upper(Lm.T, base).T
+    return tri_inv_upper(Lm.T, base, precision=precision).T
 
 
-def tri_inv_lower_unit(Lm: jax.Array, base: int = _BASE) -> jax.Array:
+def tri_inv_lower_unit(Lm: jax.Array, base: int = _BASE,
+                       precision=None) -> jax.Array:
     """Inverse of a UNIT lower-triangular matrix (stored diagonal and
     upper entries ignored)."""
     n = Lm.shape[-1]
     i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     Lu = jnp.where(i == j, jnp.ones((), Lm.dtype), Lm)
-    return tri_inv_lower(Lu, base)
+    return tri_inv_lower(Lu, base, precision=precision)

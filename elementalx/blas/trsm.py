@@ -71,6 +71,16 @@ def _prep_triangle(T: jax.Array, m: int, lower: bool, unit: bool) -> jax.Array:
     return T
 
 
+def _inv_prec(dt):
+    """Matmul precision for the accuracy-critical triangular inversions
+    on f32/c64 carriers: HIGH (bf16x3, ~f32-grade) instead of the
+    6-pass library-default HIGHEST — the inverses feed HIGH-or-lower
+    panel matmuls, so the extra passes buy nothing (measured on the
+    Cholesky/LU tails, PERF.md)."""
+    return jax.lax.Precision.HIGH \
+        if jnp.dtype(dt) in (jnp.float32, jnp.complex64) else None
+
+
 def _batched_diag_inv(T: jax.Array, nb: int, nblk: int, lower: bool,
                       compute_dtype=None) -> jax.Array:
     """Batched inverses of the nb x nb diagonal blocks: log-depth
@@ -86,7 +96,8 @@ def _batched_diag_inv(T: jax.Array, nb: int, nblk: int, lower: bool,
     if compute_dtype is not None and blocks.dtype != compute_dtype:
         blocks = blocks.astype(compute_dtype)
     inv = tri_inv_lower if lower else tri_inv_upper
-    return jax.vmap(inv)(blocks)
+    prec = _inv_prec(blocks.dtype)
+    return jax.vmap(lambda b: inv(b, precision=prec))(blocks)
 
 
 def _left_solve(T: jax.Array, B: jax.Array, lower: bool, nb: int,

@@ -243,6 +243,48 @@ def potrf_panel_tail_full(sym_a11: jax.Array, pan_full: jax.Array,
     )(kv, sym_a11, pan_full)
 
 
+def _potrf_diag_kernel(a11_ref, l11_ref, inv_ref, tp):
+    """Diagonal-block-only tail: factor + inv(L^H), NO panel streaming.
+    The full-tail kernels above lose to the XLA tail because their
+    `_apply_dot` streams the (Mt, w) panel through VMEM at VPU-ish
+    rates (measured NULL, scratch/ab_chol7/10.py); this variant keeps
+    only the part where fusion wins — replacing the ~15 small XLA
+    dispatches of cholesky + log-depth tri_inv per panel with ONE
+    launch — and leaves the L21 matmul to XLA's MXU."""
+    w = a11_ref.shape[0]
+    _factor_block(a11_ref, tp, inv_ref, w)
+    L11 = _dot(a11_ref[:, :], inv_ref[:, :])
+    subw = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+    lanew = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    l11_ref[:, :] = jnp.where(subw >= lanew, L11, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def potrf_block_inv(sym_a11: jax.Array, interpret: bool = False):
+    """One-launch (w, w) Cholesky block factor + transposed-inverse:
+    returns ``(l11, invLH)`` with ``l11`` the lower Cholesky factor and
+    ``invLH = inv(l11)^H`` (so L21 = pan @ invLH — one MXU matmul).
+    Non-HPD blocks poison both outputs with NaN (driver check).
+    f32, w % 128 == 0."""
+    w = sym_a11.shape[0]
+    assert sym_a11.dtype == jnp.float32 and sym_a11.shape == (w, w)
+    assert w % _MID == 0
+    return pl.pallas_call(
+        _potrf_diag_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((w, w), jnp.float32),
+            jax.ShapeDtypeStruct((w, w), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((w, w), jnp.float32)],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * w * w * w, bytes_accessed=3 * w * w * 4,
+            transcendentals=w),
+    )(sym_a11)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "low_apply"))
 def potrf_panel_tail(sym_a11: jax.Array, pan: jax.Array,
                      interpret: bool = False,

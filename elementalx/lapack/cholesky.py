@@ -161,6 +161,18 @@ def _chol_lower_left(a: jax.Array, nb: int, precision=None,
                  and os.environ.get("ELX_PALLAS_POTRF") == "1")
     if fuse_tail:
         from ..kernels.potrf import potrf_panel_tail
+    # diagonal-only fused tail (potrf_block_inv): ONE kernel launch for
+    # chol(A11) + inv(L11)^H per panel in place of ~15 small XLA
+    # dispatches; the L21 matmul stays on XLA's MXU. MEASURED NULL
+    # (scratch/ab_chol11.py, same session): bf16 16384 20.48 vs 15.77,
+    # f32 41.07 vs ~35 — the kernel's sequential per-column (8, w)
+    # elimination costs ~+0.15 ms/panel over XLA's chol+trinv on this
+    # stack. Kept opt-in for rechecks on other chips/toolchains.
+    diag_tail = (on_tpu() and cdt == jnp.float32 and nb % 128 == 0
+                 and not fuse_tail
+                 and os.environ.get("ELX_POTRF_DIAG") == "1")
+    if diag_tail:
+        from ..kernels.potrf import potrf_block_inv
     from ..blas.trinv import tri_inv_lower
 
     # LOOKAHEAD (measured, scratch/prof_chol8.py): the skeleton of
@@ -193,12 +205,26 @@ def _chol_lower_left(a: jax.Array, nb: int, precision=None,
             sym = jnp.tril(a11) + jnp.tril(a11, -1).T
             blk = potrf_panel_tail(sym, pan,
                                    low_apply=low).astype(sdt)
+        elif diag_tail and w == nb:
+            a11 = pan[:w]
+            sym = jnp.tril(a11) + jnp.tril(a11, -1).T
+            l11, invLH = potrf_block_inv(sym)
+            blk = l11.astype(sdt)
+            if k0 + w < M:
+                l21 = jnp.matmul(pan[w:], invLH.astype(pan.dtype),
+                                 precision=precision,
+                                 preferred_element_type=cdt)
+                blk = jnp.concatenate([blk, l21.astype(sdt)], axis=0)
         else:
             a11 = pan[:w]
             l11 = jax.lax.linalg.cholesky(a11, symmetrize_input=False)
             blk = l11.astype(sdt)
             if k0 + w < M:
-                inv11 = tri_inv_lower(l11)
+                # HIGH (3-pass) inversion on the f32 carrier — the
+                # 6-pass library default doubles this serial-tail op
+                # for no accuracy the DEFAULT/HIGH l21 matmul can see
+                inv11 = tri_inv_lower(l11, precision=jax.lax.Precision.HIGH
+                                      if cdt == jnp.float32 else None)
                 l21 = jnp.matmul(pan[w:],
                                  jnp.conj(inv11.T).astype(pan.dtype),
                                  precision=precision,

@@ -142,7 +142,7 @@ def _getrf_tall(sl: jax.Array) -> Tuple[jax.Array, jax.Array]:
     # L for every row: A U^{-1} (unit on the pivot rows by construction)
     from ..blas.trinv import tri_inv_upper
 
-    L_all = local_gemm(sl, tri_inv_upper(U),
+    L_all = local_gemm(sl, tri_inv_upper(U, precision=hot_precision(sl.dtype)),
                        precision=hot_precision(sl.dtype))
     # composed permutation: winners first (tournament order), then the
     # remaining REAL rows in ascending original order
@@ -200,7 +200,7 @@ def _lu_slab(sl: jax.Array) -> Tuple[jax.Array, jax.Array]:
         rest = w - j0 - ib
         if rest <= 0:
             continue
-        inv11 = tri_inv_lower_unit(lu[:ib, :])
+        inv11 = tri_inv_lower_unit(lu[:ib, :], precision=hp)
         U12 = local_gemm(inv11, sl[j0:j0 + ib, j0 + ib:],
                          precision=hp)
         sl = jax.lax.dynamic_update_slice(sl, U12, (j0, j0 + ib))
@@ -414,7 +414,7 @@ def LU(A: DistMatrix, blocksize: Optional[int] = None
         L11 = lu[:nb, :]
         # batched log-depth inversion (blas/trinv.py): XLA's
         # TriangularSolve substitution cost ~0.5-1 ms per panel here
-        inv11 = tri_inv_lower_unit(L11)
+        inv11 = tri_inv_lower_unit(L11, precision=hp)
         right = a[:, k0 + nb:]
         prow = tail[:nb]
         Arow = jnp.take(right, prow, axis=0, unique_indices=True)

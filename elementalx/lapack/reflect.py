@@ -80,7 +80,9 @@ def build_wy_T(V: jax.Array, tau: jax.Array) -> jax.Array:
                      * jnp.ones((nb, nb), G.dtype), Tinv)
     from ..blas.trinv import tri_inv_upper
 
-    T = tri_inv_upper(Tinv)
+    T = tri_inv_upper(Tinv, precision=jax.lax.Precision.HIGH
+                      if Tinv.dtype in (jnp.float32, jnp.complex64)
+                      else None)
     return jnp.where(live[:, None] & live[None, :], T,
                      jnp.zeros((), T.dtype))
 

@@ -105,6 +105,7 @@ def main():
         check(4096, 512)
         check(6144, 512)
     if os.environ.get("TIME", "1") == "1" and not INTERP:
+        time_panel(8192, 512, 128)
         time_panel(4096, 512, 128)
         time_panel(2048, 512, 128)
         time_panel(6144, 512, 128)

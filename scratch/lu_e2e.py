@@ -34,6 +34,7 @@ def main():
     from elementalx import DistMatrix
 
     N = int(os.environ.get("N", 16384))
+    NB = int(os.environ.get("NB", 0)) or None
     rng = np.random.default_rng(0)
     a = rng.standard_normal((N, N)).astype(np.float32)
     grid = El.Grid(devices=jax.devices())
@@ -42,7 +43,7 @@ def main():
     def mk(k):
         def f(Ad):
             def body(_, X):
-                F, P = El.LU(A.with_data(X))
+                F, P = El.LU(A.with_data(X), blocksize=NB)
                 s = (jnp.sum(F.data) * 1e-30
                      + jnp.sum(P.perm).astype(jnp.float32) * 1e-30)
                 return X + s.astype(X.dtype)
@@ -53,8 +54,8 @@ def main():
     t = chain_time(mk, (A.data,))
     tf = 2 * N ** 3 / 3 / t / 1e12
     mode = "xla" if os.environ.get("ELX_NO_PALLAS_GETRF") else "pallas"
-    print(f"LU {N} f32 [{mode}]: {t*1e3:.1f} ms  ({tf:.1f} TF/s)",
-          flush=True)
+    print(f"LU {N} f32 nb={NB or 'auto'} [{mode}]: {t*1e3:.1f} ms  "
+          f"({tf:.1f} TF/s)", flush=True)
 
 
 if __name__ == "__main__":

@@ -392,3 +392,27 @@ def test_pallas_potrf_panel_interpret(rng):
                                          interpret=True, low_apply=True))
     err_lo = np.abs(out_lo - ref).max() / np.abs(ref).max()
     assert err_lo < 5e-2, f"low_apply mismatch: {err_lo}"
+
+
+def test_pallas_potrf_block_inv_interpret(rng):
+    """Diagonal-only fused tail (potrf_block_inv): l11 matches numpy
+    Cholesky, invLH is inv(l11)^T, and a non-HPD block poisons NaN."""
+    from elementalx.kernels.potrf import potrf_block_inv
+
+    w = 256
+    A = rng.standard_normal((w, w)).astype(np.float32)
+    S = (A @ A.T / w + np.eye(w)).astype(np.float32)
+    l11, invLH = (np.asarray(x) for x in
+                  potrf_block_inv(jnp.asarray(S), interpret=True))
+    ref = np.linalg.cholesky(S.astype(np.float64))
+    err = np.abs(l11 - ref).max() / np.abs(ref).max()
+    assert err < 1e-5, f"l11 mismatch: {err}"
+    assert np.abs(np.triu(l11, 1)).max() == 0.0
+    # direct contract: l11 @ invLH^T ~ I  (invLH = inv(l11)^T)
+    eye_err = np.abs(l11.astype(np.float64) @ invLH.astype(np.float64).T
+                     - np.eye(w)).max()
+    assert eye_err < 1e-4, f"invLH contract: {eye_err}"
+    bad = -S
+    l11b, invb = (np.asarray(x) for x in
+                  potrf_block_inv(jnp.asarray(bad), interpret=True))
+    assert np.isnan(invb).any()
