@@ -56,6 +56,10 @@ from ..kernels.ozaki import _emulated_core
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
+# above this size the refinement drives the decomposed small-jit sweep
+# (the monolithic sweep program needs ~25 GB HBM at n=8192)
+_SPLIT_MIN = 6144
+
 
 def _dw_renorm(hi, lo):
     h, e = two_sum(hi, lo)
@@ -311,6 +315,101 @@ _sweep_jit = functools.partial(jax.jit,
 _finish_jit = jax.jit(_refine_finish)
 
 
+# ---- small-jit decomposition of the sweep (n >= ~6k): one monolithic
+# sweep program holds every Ozaki split set + (n, n) f32 temporaries
+# live at once — measured 25.5 GB with 64.7% fragmentation at n=8192
+# against the chip's 15.75 GB HBM. Splitting the sweep into four jit
+# units (Newton / A·V / Rayleigh+couplings / rotate-or-correct) caps
+# the per-program peak at one Ozaki product (~2 GB of bf16 slices)
+# plus the persistent state, at the price of materializing the
+# intermediate avh/avl pair between calls.
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _newton_jit(vh, vl):
+    return _newton_ortho(vh, vl, vh.shape[0])
+
+
+@jax.jit
+def _av_jit(a_hi, a_lo, vh, vl):
+    return _emulated_core(a_hi, a_lo, vh, vl)
+
+
+@jax.jit
+def _post_jit(vh, vl, avh, avl):
+    """dw Rayleigh values, residual scalar and projected couplings from
+    a precomputed AV pair."""
+    num_h, num_l = _dw_colsum_prod(vh, vl, avh, avl)
+    den_h, den_l = _dw_colsum_prod(vh, vl, vh, vl)
+    lam_h, lam_l = _dw_div(num_h, num_l, den_h, den_l)
+    th, te = two_prod(vh, lam_h[None, :])
+    tl = te + vh * lam_l[None, :] + vl * lam_h[None, :]
+    rh, re = two_sum(avh, -th)
+    rl = re + (avl - tl)
+    rh, rl = _dw_renorm(rh, rl)
+    resid = jnp.max(jnp.abs(rh + rl))
+    qtr = jnp.dot(vh.T, rh, precision=_HIGHEST) \
+        + jnp.dot(vh.T, rl, precision=_HIGHEST)
+    return lam_h, lam_l, qtr, resid
+
+
+@functools.partial(jax.jit, static_argnames=("off", "rr_b"),
+                   donate_argnums=(0, 1))
+def _rr_rot_jit(vh, vl, lam_h, qtr, off: int, rr_b: int):
+    return _window_rr(vh, vl, lam_h, qtr, off, rr_b)
+
+
+def _corr_core(vh, vl, lam_h, qtr, scale, phase_idx: int):
+    """The rotate/guarded-correct tail of `_refine_sweep_step` given a
+    precomputed qtr (same mathematics, no A products)."""
+    n = vh.shape[0]
+    tiny = (8 * np.finfo(np.float32).eps) * scale
+    cols = jnp.arange(n)
+    gap = lam_h[:, None] - lam_h[None, :]
+    safe = (jnp.abs(qtr) <= 0.1 * jnp.abs(gap)) & (jnp.abs(gap) > tiny)
+    dist, phase = [(1, 0), (1, 1), (2, 0), (2, 2),
+                   (2, 1), (2, 3)][phase_idx % 6]
+    a_idx = cols[phase:n - dist:2 * dist]
+    b_idx = a_idx + dist
+    sab = qtr[a_idx, b_idx]
+    saa = lam_h[a_idx]
+    sbb = lam_h[b_idx]
+    rot_tol = jnp.float32(2.0 ** -36) * scale
+    need = ~safe[a_idx, b_idx] & (jnp.abs(sab) > rot_tol)
+    tau_j = (sbb - saa) / jnp.where(need, 2.0 * sab, 1.0)
+    tsign = jnp.where(tau_j >= 0, 1.0, -1.0)
+    tj = tsign / (jnp.abs(tau_j) + jnp.sqrt(1.0 + tau_j * tau_j))
+    cj = 1.0 / jnp.sqrt(1.0 + tj * tj)
+    sj = tj * cj
+    cj = jnp.where(need, cj, 1.0).astype(jnp.float32)
+    sj = jnp.where(need, sj, 0.0).astype(jnp.float32)
+    ah_, al_, bh_, bl_ = (vh[:, a_idx], vl[:, a_idx],
+                          vh[:, b_idx], vl[:, b_idx])
+    nh_a, nl_a, nh_b, nl_b = _dw_rot_pair(ah_, al_, bh_, bl_,
+                                          cj[None, :], sj[None, :])
+    vh = vh.at[:, a_idx].set(nh_a).at[:, b_idx].set(nh_b)
+    vl = vl.at[:, a_idx].set(nl_a).at[:, b_idx].set(nl_b)
+    rotated = jnp.zeros((n,), bool).at[a_idx].set(need) \
+        .at[b_idx].set(need)
+    blocked = rotated[:, None] | rotated[None, :]
+    wmat = jnp.where(safe & ~blocked,
+                     1.0 / jnp.where(safe, gap, 1.0), 0.0)
+    d = -jnp.dot(vh, wmat * qtr, precision=_HIGHEST)
+    sh, se = two_sum(vh, d)
+    vh, vl = _dw_renorm(sh, vl + se)
+    return vh, vl
+
+
+_corr_jit = functools.partial(jax.jit, static_argnames=("phase_idx",),
+                              donate_argnums=(0, 1))(_corr_core)
+
+
+@jax.jit
+def _ortho_jit(vh, vl):
+    n = vh.shape[0]
+    gh, gl = _emulated_core(vh.T, vl.T, vh, vl)
+    return jnp.max(jnp.abs((gh - jnp.eye(n, dtype=jnp.float32)) + gl))
+
+
 def _refine_impl(a_hi, a_lo, v0, w32, iters: int = 6,
                  tol: float = 8e-14, history=None):
     """Refinement core: f32 A pair + f32 eigenbasis/values in, dw
@@ -334,18 +433,43 @@ def _refine_impl(a_hi, a_lo, v0, w32, iters: int = 6,
     # first-order scheme takes over (see _window_rr)
     rr_b = 256
     rr = 2 if n >= 2 * rr_b else 0
+    # monolithic sweep programs OOM HBM at n=8192 (25.5 GB needed);
+    # above this knee drive the decomposed small-jit sweep instead
+    split = n >= _SPLIT_MIN
     prev = np.inf
     for sweep in range(rr):
         off = 0 if sweep % 2 == 0 else rr_b // 2
-        vh, vl, lam_h, lam_l, resid = _rr_jit(
-            a_hi, a_lo, vh, vl, lam_h, lam_l, off=off,
-            extra_newton=(sweep == 0), rr_b=rr_b)
+        if split:
+            vh, vl = _newton_jit(vh, vl)
+            if sweep == 0:
+                vh, vl = _newton_jit(vh, vl)
+            avh, avl = _av_jit(a_hi, a_lo, vh, vl)
+            lam_h, lam_l, qtr, resid = _post_jit(vh, vl, avh, avl)
+            del avh, avl
+            vh, vl, lam_h = _rr_rot_jit(vh, vl, lam_h, qtr, off=off,
+                                        rr_b=rr_b)
+            lam_l = jnp.zeros_like(lam_h)
+        else:
+            vh, vl, lam_h, lam_l, resid = _rr_jit(
+                a_hi, a_lo, vh, vl, lam_h, lam_l, off=off,
+                extra_newton=(sweep == 0), rr_b=rr_b)
         if history is not None:
             history.append(float(resid) / scale_f)
     for sweep in range(iters):
-        vh, vl, lam_h, lam_l, resid = _sweep_jit(
-            a_hi, a_lo, vh, vl, lam_h, lam_l, scale,
-            phase_idx=sweep % 6, extra_newton=(sweep == 0 and rr == 0))
+        if split:
+            vh, vl = _newton_jit(vh, vl)
+            if sweep == 0 and rr == 0:
+                vh, vl = _newton_jit(vh, vl)
+            avh, avl = _av_jit(a_hi, a_lo, vh, vl)
+            lam_h, lam_l, qtr, resid = _post_jit(vh, vl, avh, avl)
+            del avh, avl
+            vh, vl = _corr_jit(vh, vl, lam_h, qtr, scale,
+                               phase_idx=sweep % 6)
+        else:
+            vh, vl, lam_h, lam_l, resid = _sweep_jit(
+                a_hi, a_lo, vh, vl, lam_h, lam_l, scale,
+                phase_idx=sweep % 6,
+                extra_newton=(sweep == 0 and rr == 0))
         rel = float(resid) / scale_f
         if history is not None:
             history.append(rel)
@@ -356,7 +480,16 @@ def _refine_impl(a_hi, a_lo, v0, w32, iters: int = 6,
         if sweep >= 2 and rel > 0.7 * prev:
             break
         prev = rel
-    vh, vl, lam_h, lam_l, resid, ortho = _finish_jit(a_hi, a_lo, vh, vl)
+    if split:
+        vh, vl = _newton_jit(vh, vl)
+        vh, vl = _newton_jit(vh, vl)
+        avh, avl = _av_jit(a_hi, a_lo, vh, vl)
+        lam_h, lam_l, _, resid = _post_jit(vh, vl, avh, avl)
+        del avh, avl
+        ortho = _ortho_jit(vh, vl)
+    else:
+        vh, vl, lam_h, lam_l, resid, ortho = _finish_jit(
+            a_hi, a_lo, vh, vl)
     return vh, vl, lam_h, lam_l, resid, ortho, scale
 
 

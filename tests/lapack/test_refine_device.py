@@ -94,6 +94,24 @@ def test_refined_eig_device_driver():
     assert rel < 1e-11
 
 
+def test_refine_device_split_path():
+    """The decomposed small-jit sweep (used above _SPLIT_MIN to fit
+    HBM at n=8192) must produce the same f64-grade results as the
+    monolithic path."""
+    import unittest.mock as mock
+
+    rng = np.random.default_rng(21)
+    n = 256
+    a = rng.standard_normal((n, n))
+    a = (a + a.T) / 2
+    v0, w0 = _degraded_basis(a, rng)
+    with mock.patch.object(RD, "_SPLIT_MIN", 64):
+        resid, ortho, werr = _check(a, v0, w0)
+    assert resid < 1e-12
+    assert ortho < 1e-12
+    assert werr < 1e-12
+
+
 def test_refined_linear_solve_device():
     """Device-resident LU-IR reaches ~f64 residuals from f32 factors."""
     import elementalx as El
