@@ -52,13 +52,16 @@ import jax.numpy as jnp
 
 from ..core.dmatrix import DistMatrix
 from ..kernels.extended import two_sum, two_prod
-from ..kernels.ozaki import _emulated_core
+from ..kernels.ozaki import _emulated_core, _emulated_core_lean
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 # above this size the refinement drives the decomposed small-jit sweep
-# (the monolithic sweep program needs ~25 GB HBM at n=8192)
-_SPLIT_MIN = 6144
+# (the monolithic sweep program needs ~25 GB HBM at n=8192);
+# ELX_REFINE_SPLIT_MIN overrides for A/B debugging
+import os as _os
+
+_SPLIT_MIN = int(_os.environ.get("ELX_REFINE_SPLIT_MIN", 6144))
 
 
 def _dw_renorm(hi, lo):
@@ -324,14 +327,63 @@ _finish_jit = jax.jit(_refine_finish)
 # plus the persistent state, at the price of materializing the
 # intermediate avh/avl pair between calls.
 
-@functools.partial(jax.jit, donate_argnums=(0, 1))
-def _newton_jit(vh, vl):
-    return _newton_ortho(vh, vl, vh.shape[0])
+@jax.jit
+def _lean_jit(ah, al, bh, bl):
+    return _emulated_core_lean(ah, al, bh, bl)
+
+
+def _lean_cols(ah, al, bh, bl, parts: int = 2):
+    """Ozaki product with the B operand column-chunked across SEPARATE
+    jit programs. XLA:TPU's HBM allocator fragments the lean core's
+    buffer pattern to ~87% at (8192, 8192) (17 GB allocated for 2.25 GB
+    of data — 1.25 GB over the chip); per-chunk programs keep each
+    allocation plan under the ceiling. The A split stack is recomputed
+    per chunk (~ms of VPU work against ~100 ms of MXU products)."""
+    n = bh.shape[1]
+    if parts <= 1 or n % parts or n < 2048:
+        return _lean_jit(ah, al, bh, bl)
+    outs = [
+        _lean_jit(ah, al, bh[:, i * (n // parts):(i + 1) * (n // parts)],
+                  bl[:, i * (n // parts):(i + 1) * (n // parts)])
+        for i in range(parts)
+    ]
+    return (jnp.concatenate([o[0] for o in outs], axis=1),
+            jnp.concatenate([o[1] for o in outs], axis=1))
 
 
 @jax.jit
+def _gram_tail_jit(gh, gl):
+    """Newton correction matrix M = -E/2 + 3/8 E^2 (renormed dw) from a
+    precomputed Gram pair."""
+    n = gh.shape[0]
+    eye = jnp.eye(n, dtype=jnp.float32)
+    eh = gh - eye
+    el = gl
+    e2 = jnp.dot(eh, eh, precision=_HIGHEST)
+    mh, me = two_sum(-0.5 * eh, 0.375 * e2)
+    ml = me - 0.5 * el
+    return _dw_renorm(mh, ml)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _apply_tail_jit(vh, vl, ch, cl):
+    sh, se = two_sum(vh, ch)
+    return _dw_renorm(sh, vl + se + cl)
+
+
+def _newton_jit(vh, vl):
+    """One Newton pass as a host-level composition of column-chunked
+    Ozaki programs + small jitted tails (one whole-pass program — and
+    even one whole-PRODUCT program — fragments HBM past the chip at
+    n=8192; see _lean_cols)."""
+    mh, ml = _lean_cols(vh.T, vl.T, vh, vl)
+    mh, ml = _gram_tail_jit(mh, ml)
+    ch, cl = _lean_cols(vh, vl, mh, ml)
+    return _apply_tail_jit(vh, vl, ch, cl)
+
+
 def _av_jit(a_hi, a_lo, vh, vl):
-    return _emulated_core(a_hi, a_lo, vh, vl)
+    return _lean_cols(a_hi, a_lo, vh, vl)
 
 
 @jax.jit
@@ -356,6 +408,27 @@ def _post_jit(vh, vl, avh, avl):
                    donate_argnums=(0, 1))
 def _rr_rot_jit(vh, vl, lam_h, qtr, off: int, rr_b: int):
     return _window_rr(vh, vl, lam_h, qtr, off, rr_b)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _global_rr_jit(vh, vl, lam_h, qtr):
+    """FULL-space Rayleigh-Ritz rescue: eigendecompose the projected
+    S = diag(lam) + sym(qtr) and rotate the dw basis by its f32
+    eigenbasis. Needed when the f32 solver's vector/value pairing is
+    BROKEN at scale (measured at n=8192: the tridiag inverse-iteration
+    basis carries duplicated/mispaired columns — dw Rayleigh quotients
+    out of order by 0.1x scale — so 256-wide windowed RR can never see
+    the cross-spectrum couplings and the refinement stalls at the f32
+    floor; scratch/dbg_refine8192.py). V is square dw-orthonormal, so
+    span(V) = R^n and one global RR re-enters at eigh-grade pairing
+    (resid ~eps32 x scale) with CORRECT ordering; the windowed sweeps
+    then converge as at smaller sizes. Costs one f32 eigh of S."""
+    S = 0.5 * (qtr + qtr.T) + jnp.diag(lam_h)
+    w_s, U = jnp.linalg.eigh(S)
+    U = U.astype(jnp.float32)
+    nvh = jnp.dot(vh, U, precision=_HIGHEST)
+    nvl = jnp.dot(vl, U, precision=_HIGHEST)
+    return nvh, nvl, w_s.astype(jnp.float32)
 
 
 def _corr_core(vh, vl, lam_h, qtr, scale, phase_idx: int):
@@ -403,10 +476,9 @@ _corr_jit = functools.partial(jax.jit, static_argnames=("phase_idx",),
                               donate_argnums=(0, 1))(_corr_core)
 
 
-@jax.jit
 def _ortho_jit(vh, vl):
+    gh, gl = _lean_cols(vh.T, vl.T, vh, vl)
     n = vh.shape[0]
-    gh, gl = _emulated_core(vh.T, vl.T, vh, vl)
     return jnp.max(jnp.abs((gh - jnp.eye(n, dtype=jnp.float32)) + gl))
 
 
@@ -437,22 +509,36 @@ def _refine_impl(a_hi, a_lo, v0, w32, iters: int = 6,
     # above this knee drive the decomposed small-jit sweep instead
     split = n >= _SPLIT_MIN
     prev = np.inf
-    for sweep in range(rr):
-        off = 0 if sweep % 2 == 0 else rr_b // 2
+    win_done = 0
+    first_head = True
+    globals_left = 1 if split else 0
+    while win_done < rr:
+        off = 0 if win_done % 2 == 0 else rr_b // 2
         if split:
             vh, vl = _newton_jit(vh, vl)
-            if sweep == 0:
+            if first_head:
                 vh, vl = _newton_jit(vh, vl)
+                first_head = False
             avh, avl = _av_jit(a_hi, a_lo, vh, vl)
             lam_h, lam_l, qtr, resid = _post_jit(vh, vl, avh, avl)
             del avh, avl
-            vh, vl, lam_h = _rr_rot_jit(vh, vl, lam_h, qtr, off=off,
-                                        rr_b=rr_b)
+            # mispaired entry basis (dw Rayleigh values far out of
+            # order): one FULL-space RR rescue before the windowed
+            # sweeps — see _global_rr_jit
+            if globals_left and \
+                    float(jnp.min(jnp.diff(lam_h))) < -1e-4 * scale_f:
+                vh, vl, lam_h = _global_rr_jit(vh, vl, lam_h, qtr)
+                globals_left = 0
+            else:
+                vh, vl, lam_h = _rr_rot_jit(vh, vl, lam_h, qtr, off=off,
+                                            rr_b=rr_b)
+                win_done += 1
             lam_l = jnp.zeros_like(lam_h)
         else:
             vh, vl, lam_h, lam_l, resid = _rr_jit(
                 a_hi, a_lo, vh, vl, lam_h, lam_l, off=off,
-                extra_newton=(sweep == 0), rr_b=rr_b)
+                extra_newton=(win_done == 0), rr_b=rr_b)
+            win_done += 1
         if history is not None:
             history.append(float(resid) / scale_f)
     for sweep in range(iters):

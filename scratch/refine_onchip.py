@@ -38,23 +38,28 @@ def run(n, iters=6):
     t1 = time.perf_counter()
 
     a_hi = jnp.asarray(a)
+    a_lo = jnp.zeros_like(a_hi)
     # device-resident slice: Q.global_array() would pull the (n, n)
     # basis to host and re-upload (~64 MB each way at n=4096 over the
     # tunnel) — ADVICE r3
     v0 = Q.data[:n, :n].astype(jnp.float32)
     w32 = jnp.asarray(w, jnp.float32)[:n]
+    del Q
     # warm the refine compile separately from the timed run
     t2 = time.perf_counter()
     hist = []
     vh, vl, lam_h, lam_l, resid, ortho, scale = RD._refine_device(
-        a_hi, jnp.zeros_like(a_hi), v0, w32, iters=iters, history=hist)
+        a_hi, a_lo, v0, w32, iters=iters, history=hist)
     rel = float(resid) / float(scale)
     orel = float(ortho)
+    # free run-1's (n, n) results before run 2 — at n=8192 the chip
+    # cannot hold two full refinement states plus transients
+    del vh, vl, lam_h, lam_l, resid, ortho, scale
     t3 = time.perf_counter()
     # second (compile-warm) refine run for the time
     t4 = time.perf_counter()
     hist2 = []
-    out = RD._refine_device(a_hi, jnp.zeros_like(a_hi), v0, w32,
+    out = RD._refine_device(a_hi, a_lo, v0, w32,
                             iters=iters, history=hist2)
     rel2 = float(out[4]) / float(out[6])
     t5 = time.perf_counter()

@@ -394,6 +394,31 @@ def test_pallas_potrf_panel_interpret(rng):
     assert err_lo < 5e-2, f"low_apply mismatch: {err_lo}"
 
 
+def test_ozaki_lean_matches_full(rng):
+    """The memory-lean j-major Ozaki core must match the two-stack
+    (i+j)-ordered core to ~2^-48 relative."""
+    import jax.numpy as jnp
+    from elementalx.kernels.ozaki import _emulated_core, _emulated_core_lean
+
+    m, k, n = 48, 40, 32
+    a = rng.standard_normal((m, k))
+    b = rng.standard_normal((k, n))
+    ah = a.astype(np.float32)
+    al = (a - ah.astype(np.float64)).astype(np.float32)
+    bh = b.astype(np.float32)
+    bl = (b - bh.astype(np.float64)).astype(np.float32)
+    rh, rl = _emulated_core(jnp.asarray(ah), jnp.asarray(al),
+                            jnp.asarray(bh), jnp.asarray(bl))
+    lh, ll = _emulated_core_lean(jnp.asarray(ah), jnp.asarray(al),
+                                 jnp.asarray(bh), jnp.asarray(bl))
+    ref = a @ b
+    full = np.asarray(rh, np.float64) + np.asarray(rl, np.float64)
+    lean = np.asarray(lh, np.float64) + np.asarray(ll, np.float64)
+    scale = np.abs(ref).max()
+    assert np.abs(lean - ref).max() / scale < 1e-13
+    assert np.abs(lean - full).max() / scale < 1e-13
+
+
 def test_pallas_potrf_block_inv_interpret(rng):
     """Diagonal-only fused tail (potrf_block_inv): l11 matches numpy
     Cholesky, invLH is inv(l11)^T, and a non-HPD block poisons NaN."""

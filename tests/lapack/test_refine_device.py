@@ -112,6 +112,32 @@ def test_refine_device_split_path():
     assert werr < 1e-12
 
 
+def test_refine_device_global_rr_rescue():
+    """A MISPAIRED entry basis (columns scrambled against the claimed
+    eigenvalues — the failure mode of the f32 tridiag solver at
+    n=8192, where inverse iteration returns duplicated/mispaired
+    vectors) must be rescued by the full-space Rayleigh-Ritz pass and
+    still converge to f64 grade."""
+    import unittest.mock as mock
+
+    rng = np.random.default_rng(23)
+    n = 256
+    a = rng.standard_normal((n, n))
+    a = (a + a.T) / 2
+    w64, V64 = np.linalg.eigh(a)
+    # scramble a band of columns far out of order + add f32-grade noise
+    perm = np.arange(n)
+    perm[40:200] = np.roll(perm[40:200], 57)
+    v0 = (V64[:, perm] + 3e-4 * rng.standard_normal((n, n))).astype(
+        np.float32)
+    w0 = w64.astype(np.float32)   # claimed values stay SORTED
+    with mock.patch.object(RD, "_SPLIT_MIN", 64):
+        resid, ortho, werr = _check(a, v0, w0, iters=8)
+    assert resid < 1e-12
+    assert ortho < 1e-12
+    assert werr < 1e-12
+
+
 def test_refined_linear_solve_device():
     """Device-resident LU-IR reaches ~f64 residuals from f32 factors."""
     import elementalx as El
