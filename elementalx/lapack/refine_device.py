@@ -245,8 +245,14 @@ def _refine_sweep_step(a_hi, a_lo, vh, vl, lam_h, lam_l, scale,
     # reach a FIXED POINT where both adjacent couplings are resolved
     # but the skip-one coupling is large (unsafe, so never corrected)
     # and never rotated (measured on planted degenerate triples).
+    # distances 3-4 added in round 4: a degenerate cluster wider than
+    # 3 columns has couplings the offset-1/2 classes never rotate and
+    # the first-order step must skip (|gap| < tiny) — measured as a
+    # permanent 2e-8 residual floor at n=8192
     dist, phase = [(1, 0), (1, 1), (2, 0), (2, 2),
-                   (2, 1), (2, 3)][phase_idx % 6]
+                   (2, 1), (2, 3), (3, 0), (3, 3),
+                   (4, 0), (4, 4), (3, 1), (3, 2),
+                   (4, 2), (4, 6)][phase_idx % 14]
     a_idx = cols[phase:n - dist:2 * dist]
     b_idx = a_idx + dist
     sab = qtr[a_idx, b_idx]
@@ -411,24 +417,24 @@ def _rr_rot_jit(vh, vl, lam_h, qtr, off: int, rr_b: int):
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))
-def _global_rr_jit(vh, vl, lam_h, qtr):
-    """FULL-space Rayleigh-Ritz rescue: eigendecompose the projected
-    S = diag(lam) + sym(qtr) and rotate the dw basis by its f32
-    eigenbasis. Needed when the f32 solver's vector/value pairing is
-    BROKEN at scale (measured at n=8192: the tridiag inverse-iteration
-    basis carries duplicated/mispaired columns — dw Rayleigh quotients
-    out of order by 0.1x scale — so 256-wide windowed RR can never see
-    the cross-spectrum couplings and the refinement stalls at the f32
-    floor; scratch/dbg_refine8192.py). V is square dw-orthonormal, so
-    span(V) = R^n and one global RR re-enters at eigh-grade pairing
-    (resid ~eps32 x scale) with CORRECT ordering; the windowed sweeps
-    then converge as at smaller sizes. Costs one f32 eigh of S."""
-    S = 0.5 * (qtr + qtr.T) + jnp.diag(lam_h)
-    w_s, U = jnp.linalg.eigh(S)
-    U = U.astype(jnp.float32)
-    nvh = jnp.dot(vh, U, precision=_HIGHEST)
-    nvl = jnp.dot(vl, U, precision=_HIGHEST)
-    return nvh, nvl, w_s.astype(jnp.float32)
+def _sortcols_jit(vh, vl, lam_h, qtr):
+    """Re-sort columns by their (dw-accurate) Rayleigh values — the
+    pairing-repair half of the mispaired-basis rescue. The f32 tridiag
+    solver returns duplicated/mispaired vectors at n=8192 (dw Rayleigh
+    quotients out of order by 0.1x scale, scratch/dbg_refine8192.py),
+    so the 256-wide windowed RR never sees the cross-spectrum
+    couplings and the refinement stalls at the f32 floor. Sorting by
+    Rayleigh value makes every column's coupling partners LOCAL in
+    column order (a column's Rayleigh sits at its dominant spectral
+    component), after which the windowed RR sweeps can untangle them;
+    each rescue buys one extra windowed sweep. (A full-space
+    eigh-of-projection rescue is mathematically cleaner but XLA's
+    native eigh at 8192 SIGKILLs this stack's remote compile helper —
+    measured, both fused and as its own program.)"""
+    order = jnp.argsort(lam_h)
+    return (jnp.take(vh, order, axis=1, unique_indices=True),
+            jnp.take(vl, order, axis=1, unique_indices=True),
+            lam_h[order], qtr[order][:, order])
 
 
 def _corr_core(vh, vl, lam_h, qtr, scale, phase_idx: int):
@@ -439,8 +445,14 @@ def _corr_core(vh, vl, lam_h, qtr, scale, phase_idx: int):
     cols = jnp.arange(n)
     gap = lam_h[:, None] - lam_h[None, :]
     safe = (jnp.abs(qtr) <= 0.1 * jnp.abs(gap)) & (jnp.abs(gap) > tiny)
+    # distances 3-4 added in round 4: a degenerate cluster wider than
+    # 3 columns has couplings the offset-1/2 classes never rotate and
+    # the first-order step must skip (|gap| < tiny) — measured as a
+    # permanent 2e-8 residual floor at n=8192
     dist, phase = [(1, 0), (1, 1), (2, 0), (2, 2),
-                   (2, 1), (2, 3)][phase_idx % 6]
+                   (2, 1), (2, 3), (3, 0), (3, 3),
+                   (4, 0), (4, 4), (3, 1), (3, 2),
+                   (4, 2), (4, 6)][phase_idx % 14]
     a_idx = cols[phase:n - dist:2 * dist]
     b_idx = a_idx + dist
     sab = qtr[a_idx, b_idx]
@@ -509,12 +521,16 @@ def _refine_impl(a_hi, a_lo, v0, w32, iters: int = 6,
     # above this knee drive the decomposed small-jit sweep instead
     split = n >= _SPLIT_MIN
     prev = np.inf
-    win_done = 0
     first_head = True
-    globals_left = 1 if split else 0
-    while win_done < rr:
-        off = 0 if win_done % 2 == 0 else rr_b // 2
-        if split:
+    if split:
+        # ---- phase A: pairing repair. The f32 solver's basis at this
+        # scale carries duplicated/mispaired columns (dw Rayleigh
+        # values out of order by 0.1x scale — dbg_refine8192.py);
+        # sort columns by Rayleigh value (mixing becomes column-local)
+        # and untangle with WIDE (1024) RR windows; repeat until the
+        # ordering is clean. Well-paired bases exit after one check.
+        big_b = min(1024, rr_b * 4)
+        for rnd in range(6):
             vh, vl = _newton_jit(vh, vl)
             if first_head:
                 vh, vl = _newton_jit(vh, vl)
@@ -522,50 +538,90 @@ def _refine_impl(a_hi, a_lo, v0, w32, iters: int = 6,
             avh, avl = _av_jit(a_hi, a_lo, vh, vl)
             lam_h, lam_l, qtr, resid = _post_jit(vh, vl, avh, avl)
             del avh, avl
-            # mispaired entry basis (dw Rayleigh values far out of
-            # order): one FULL-space RR rescue before the windowed
-            # sweeps — see _global_rr_jit
-            if globals_left and \
-                    float(jnp.min(jnp.diff(lam_h))) < -1e-4 * scale_f:
-                vh, vl, lam_h = _global_rr_jit(vh, vl, lam_h, qtr)
-                globals_left = 0
-            else:
+            if history is not None:
+                history.append(float(resid) / scale_f)
+            if float(jnp.min(jnp.diff(lam_h))) >= -1e-4 * scale_f:
+                break
+            # the couplings permute with the columns — no fresh head
+            vh, vl, lam_h, qtr = _sortcols_jit(vh, vl, lam_h, qtr)
+            off = 0 if rnd % 2 == 0 else big_b // 2
+            if (a_hi.shape[0] - off) // big_b >= 1:
                 vh, vl, lam_h = _rr_rot_jit(vh, vl, lam_h, qtr, off=off,
-                                            rr_b=rr_b)
-                win_done += 1
+                                            rr_b=big_b)
             lam_l = jnp.zeros_like(lam_h)
-        else:
+        # ---- phase B: standard windowed RR sweeps
+        for sweep in range(rr):
+            off = 0 if sweep % 2 == 0 else rr_b // 2
+            vh, vl = _newton_jit(vh, vl)
+            avh, avl = _av_jit(a_hi, a_lo, vh, vl)
+            lam_h, lam_l, qtr, resid = _post_jit(vh, vl, avh, avl)
+            del avh, avl
+            vh, vl, lam_h = _rr_rot_jit(vh, vl, lam_h, qtr, off=off,
+                                        rr_b=rr_b)
+            lam_l = jnp.zeros_like(lam_h)
+            if history is not None:
+                history.append(float(resid) / scale_f)
+    else:
+        for sweep in range(rr):
+            off = 0 if sweep % 2 == 0 else rr_b // 2
             vh, vl, lam_h, lam_l, resid = _rr_jit(
                 a_hi, a_lo, vh, vl, lam_h, lam_l, off=off,
-                extra_newton=(win_done == 0), rr_b=rr_b)
-            win_done += 1
-        if history is not None:
-            history.append(float(resid) / scale_f)
-    for sweep in range(iters):
-        if split:
+                extra_newton=(sweep == 0), rr_b=rr_b)
+            if history is not None:
+                history.append(float(resid) / scale_f)
+    if split:
+        # corrections with adaptive RR fallback: when a guarded sweep
+        # fails to shrink the residual (a few columns still carry
+        # window-scale mixing the first-order step must skip), spend a
+        # windowed-RR sweep instead of breaking — measured at n=8192:
+        # corrections alone stall at ~1.5e-5 while an RR sweep cuts
+        # x40. Bounded by rr_left extra sweeps.
+        rr_left = 4
+        phase = 0
+        sweep = 0
+        while sweep < iters + 4:
             vh, vl = _newton_jit(vh, vl)
             if sweep == 0 and rr == 0:
                 vh, vl = _newton_jit(vh, vl)
             avh, avl = _av_jit(a_hi, a_lo, vh, vl)
             lam_h, lam_l, qtr, resid = _post_jit(vh, vl, avh, avl)
             del avh, avl
-            vh, vl = _corr_jit(vh, vl, lam_h, qtr, scale,
-                               phase_idx=sweep % 6)
-        else:
+            rel = float(resid) / scale_f
+            if history is not None:
+                history.append(rel)
+            if rel <= tol:
+                break
+            stalled = rel > 0.3 * prev
+            if stalled and rr_left > 0 and sweep > 0:
+                off = 0 if rr_left % 2 == 0 else rr_b // 2
+                vh, vl, lam_h = _rr_rot_jit(vh, vl, lam_h, qtr,
+                                            off=off, rr_b=rr_b)
+                lam_l = jnp.zeros_like(lam_h)
+                rr_left -= 1
+            elif sweep >= 2 and rel > 0.9 * prev and rr_left == 0:
+                break
+            else:
+                vh, vl = _corr_jit(vh, vl, lam_h, qtr, scale,
+                                   phase_idx=phase % 14)
+                phase += 1
+            prev = rel
+            sweep += 1
+    else:
+        for sweep in range(iters):
             vh, vl, lam_h, lam_l, resid = _sweep_jit(
                 a_hi, a_lo, vh, vl, lam_h, lam_l, scale,
-                phase_idx=sweep % 6,
+                phase_idx=sweep % 14,
                 extra_newton=(sweep == 0 and rr == 0))
-        rel = float(resid) / scale_f
-        if history is not None:
-            history.append(rel)
-        # resid measures the basis BEFORE this sweep's correction;
-        # plateau = this sweep had nothing left to fix
-        if rel <= tol:
-            break
-        if sweep >= 2 and rel > 0.7 * prev:
-            break
-        prev = rel
+            rel = float(resid) / scale_f
+            if history is not None:
+                history.append(rel)
+            # resid measures the basis BEFORE this sweep's correction;
+            # plateau = this sweep had nothing left to fix
+            if rel <= tol:
+                break
+            if sweep >= 2 and rel > 0.7 * prev:
+                break
+            prev = rel
     if split:
         vh, vl = _newton_jit(vh, vl)
         vh, vl = _newton_jit(vh, vl)
