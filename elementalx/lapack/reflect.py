@@ -68,7 +68,13 @@ def build_wy_T(V: jax.Array, tau: jax.Array) -> jax.Array:
     and column of the Gram coupling before inversion, then masked to
     zero in T, matching the recurrence exactly."""
     nb = V.shape[1]
-    G = jnp.conj(V.T) @ V  # (nb, nb) gram
+    f32ish = V.dtype in (jnp.float32, jnp.complex64)
+    hi = jax.lax.Precision.HIGHEST if f32ish else None
+    # Gram at HIGHEST: at DEFAULT the TPU runs this single-pass bf16,
+    # which puts ~1e-5-grade error into T and costs the compact-WY Q
+    # its orthogonality (||Q'Q-I|| 2.6e-5 vs geqrf's 5e-7 — measured,
+    # the dominant backward-error term of the SBR band reduction)
+    G = jnp.dot(jnp.conj(V.T), V, precision=hi)  # (nb, nb) gram
     rows = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
     live = tau != 0
@@ -83,6 +89,14 @@ def build_wy_T(V: jax.Array, tau: jax.Array) -> jax.Array:
     T = tri_inv_upper(Tinv, precision=jax.lax.Precision.HIGH
                       if Tinv.dtype in (jnp.float32, jnp.complex64)
                       else None)
+    if f32ish:
+        # one Newton polish against the accurate Tinv squares the
+        # inversion error (~1e-5 -> Gram-limited ~1e-7); two (nb, nb)
+        # GEMMs — negligible against any panel
+        eye2 = 2.0 * jnp.eye(nb, dtype=T.dtype)
+        T = jnp.dot(T, eye2 - jnp.dot(Tinv, T, precision=hi),
+                    precision=hi)
+        T = jnp.where(cols >= rows, T, jnp.zeros((), T.dtype))
     return jnp.where(live[:, None] & live[None, :], T,
                      jnp.zeros((), T.dtype))
 

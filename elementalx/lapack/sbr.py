@@ -39,7 +39,11 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-_HIGH = jax.lax.Precision.HIGH
+# NOTE: on this chip Precision.HIGH (bf16x3) leaves ~1e-4-grade product
+# error in orthogonal applications (measured: Q2 ortho 5.6e-4 at HIGH on
+# TPU vs 5.4e-6 for the identical graph on CPU); HIGHEST restores f32
+# grade, so every Q-application here uses HIGHEST.
+_HIGH = jax.lax.Precision.HIGHEST
 
 
 class SBRFactorization(NamedTuple):
@@ -90,13 +94,18 @@ def band_reduce(a: jax.Array, b: int
         a = a.at[k + b:, k:k + b].set(newpan)
         a = a.at[k:k + b, k + b:].set(newpan.T)
         # two-sided trailing update: A2 <- (I - V T V^T)^T A2 (.)
+        # at HIGHEST: these GEMMs REWRITE the matrix, so their product
+        # error lands directly in the spectrum (no orthogonality
+        # protection) — HIGH leaves 5.7e-4 eigenvalue drift at n=512
+        # where HIGHEST leaves 1.8e-6 (measured on-chip)
+        HI = jax.lax.Precision.HIGHEST
         A2 = a[k + b:, k + b:]
-        Y = jnp.dot(A2, jnp.dot(V, T, precision=_HIGH), precision=_HIGH)
-        S = jnp.dot(V.T, Y, precision=_HIGH)
-        W = Y - 0.5 * jnp.dot(V, jnp.dot(T.T, S, precision=_HIGH),
-                              precision=_HIGH)
-        A2 = A2 - jnp.dot(V, W.T, precision=_HIGH) \
-            - jnp.dot(W, V.T, precision=_HIGH)
+        Y = jnp.dot(A2, jnp.dot(V, T, precision=HI), precision=HI)
+        S = jnp.dot(V.T, Y, precision=HI)
+        W = Y - 0.5 * jnp.dot(V, jnp.dot(T.T, S, precision=HI),
+                              precision=HI)
+        A2 = A2 - jnp.dot(V, W.T, precision=HI) \
+            - jnp.dot(W, V.T, precision=HI)
         a = a.at[k + b:, k + b:].set(A2)
         Vs.append(V)
         Ts.append(T)
@@ -275,19 +284,23 @@ def sbr_apply_q(fact: SBRFactorization, Z: jax.Array, b: int,
 # ---------------------------------------------------------------------------
 
 
-def _band_to_skl(a_band: jax.Array, b: int) -> jax.Array:
-    """Dense banded (n, n) -> skewed lower store SKL[r, d] = A[r, r-d],
-    d in [0, 2b), with 2b top / (smax+4)*b bottom zero margins."""
+def _band_to_ds(a_band: jax.Array, b: int) -> jax.Array:
+    """Dense banded (n, n) -> BLOCK-ALIGNED dense lower store
+    DS[2b + r, l] = A[r, (r//b)*b - 2b + l], l in [0, 4b), with the
+    strictly-upper and out-of-range positions exactly zero (the
+    kernel's rotation wraps rely on that invariant). 2b top /
+    (smax+4)*b bottom zero margins."""
     n = a_band.shape[0]
     smax = chase_smax(n, b)
-    r = jax.lax.broadcasted_iota(jnp.int32, (n, 2 * b), 0)
-    d = jax.lax.broadcasted_iota(jnp.int32, (n, 2 * b), 1)
-    idx = jnp.clip(r - d, 0, n - 1)
-    skl = jnp.take_along_axis(a_band, idx, axis=1, mode='clip')
-    skl = jnp.where(r - d >= 0, skl, 0.0)
-    top = jnp.zeros((2 * b, 2 * b), jnp.float32)
-    bot = jnp.zeros(((smax + 4) * b, 2 * b), jnp.float32)
-    return jnp.concatenate([top, skl, bot], axis=0)
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, 4 * b), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, 4 * b), 1)
+    c = (r // b) * b - 2 * b + lane
+    idx = jnp.clip(c, 0, n - 1)
+    ds = jnp.take_along_axis(a_band, idx, axis=1, mode='clip')
+    ds = jnp.where((c >= 0) & (c <= r), ds, 0.0)
+    top = jnp.zeros((2 * b, 4 * b), jnp.float32)
+    bot = jnp.zeros(((smax + 4) * b, 4 * b), jnp.float32)
+    return jnp.concatenate([top, ds, bot], axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=('b', 'use_kernel'))
@@ -301,10 +314,14 @@ def sbr_tridiag(a: jax.Array, b: int = 256,
     if use_kernel:
         from ..kernels.sb2tr import sb2tr
 
-        skl = _band_to_skl(a_band, b)
-        skl_out, vout = sb2tr(skl, M, b)
-        d = skl_out[2 * b:2 * b + M, 0]
-        e = skl_out[2 * b + 1:2 * b + M, 1]
+        ds = _band_to_ds(a_band, b)
+        ds_out, vout = sb2tr(ds, M, b)
+        body = ds_out[2 * b:2 * b + M, :]
+        r1 = jnp.arange(M)
+        d = jnp.take_along_axis(
+            body, ((r1 % b) + 2 * b)[:, None], axis=1)[:, 0]
+        e = jnp.take_along_axis(
+            body, ((r1 % b) + 2 * b - 1)[:, None], axis=1)[:, 0][1:]
     else:
         a_tri, vout = _sb2tr_dense(a_band, b)
         d = jnp.diagonal(a_tri)
