@@ -207,7 +207,7 @@ def _sb2tr_dense(a_band: jax.Array, b: int) -> Tuple[jax.Array, jax.Array]:
 
 
 def _apply_q2(vout: jax.Array, Z: jax.Array, n: int, b: int,
-              g: int = 64, adjoint: bool = False) -> jax.Array:
+              g: int = 128, adjoint: bool = False) -> jax.Array:
     """Z := Q2 Z (or Q2^T Z) with diamond compact-WY blocks: the
     chase-index-s reflectors of sweeps [c0, c0+g) (windows staggered
     by 1). Blocks applied: sweep-groups descending, s ascending,
@@ -242,20 +242,26 @@ def _apply_q2(vout: jax.Array, Z: jax.Array, n: int, b: int,
     rows = jax.lax.broadcasted_iota(jnp.int32, (m, g), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (m, g), 1)
 
-    def step(Zp, cs):
-        c0, s = cs
-        # member i = sweep c0+i; vout[c0+i, s] = [tau | v[1:]];
-        # its window starts at row c0+i+1+s*b -> diamond offset i
-        Vg = jax.lax.dynamic_slice(vout, (c0, s, 0), (g, 1, b))[:, 0, :]
-        taus = Vg[:, 0]
-        Vrows = jnp.concatenate(
-            [jnp.ones((g, 1), jnp.float32), Vg[:, 1:]], axis=1)
-        # D[r, i] = v_i[r - i] (0 outside [i, i+b))
-        idx = jnp.clip(rows - cols, 0, b - 1)
-        D = jnp.take_along_axis(Vrows.T, idx, axis=0,
-                                mode='clip')
-        D = jnp.where((rows >= cols) & (rows < cols + b), D, 0.0)
-        T = build_wy_T(D, taus)
+    # ---- batched precompute of every diamond D and its WY T (the
+    # per-step T build made the sequential scan ~6x slower: each step
+    # paid a log-depth triangular inversion's dispatch chain)
+    # member i = sweep c0+i; vout[c0+i, s] = [tau | v[1:]];
+    # its window starts at row c0+i+1+s*b -> diamond offset i
+    gather_rows = c0s[:, None] + jnp.arange(g, dtype=jnp.int32)[None, :]
+    Vg_all = vout[gather_rows, ss[:, None]]          # (K, g, b)
+    taus_all = Vg_all[:, :, 0]
+    Vrows_all = jnp.concatenate(
+        [jnp.ones((Vg_all.shape[0], g, 1), jnp.float32),
+         Vg_all[:, :, 1:]], axis=2)
+    idx = jnp.clip(rows - cols, 0, b - 1)
+    # D[k, r, i] = Vrows_all[k, i, r - i] (0 outside [i, i+b))
+    D_all = jnp.take_along_axis(
+        jnp.swapaxes(Vrows_all, 1, 2), idx[None], axis=1, mode='clip')
+    D_all = jnp.where((rows >= cols) & (rows < cols + b), D_all, 0.0)
+    T_all = jax.vmap(build_wy_T)(D_all, taus_all)
+
+    def step(Zp, blk):
+        D, T, c0, s = blk
         base = c0 + 1 + s * b
         Zs = jax.lax.dynamic_slice(Zp, (base, 0), (m, Zp.shape[1]))
         Tm = T.T if adjoint else T
@@ -264,7 +270,7 @@ def _apply_q2(vout: jax.Array, Z: jax.Array, n: int, b: int,
                                      precision=_HIGH), precision=_HIGH)
         return jax.lax.dynamic_update_slice(Zp, Zs, (base, 0)), None
 
-    Zp, _ = jax.lax.scan(step, Zp, (c0s, ss))
+    Zp, _ = jax.lax.scan(step, Zp, (D_all, T_all, c0s, ss))
     return Zp[:Z.shape[0]]
 
 
@@ -285,21 +291,36 @@ def sbr_apply_q(fact: SBRFactorization, Z: jax.Array, b: int,
 
 
 def _band_to_ds(a_band: jax.Array, b: int) -> jax.Array:
-    """Dense banded (n, n) -> BLOCK-ALIGNED dense lower store
-    DS[2b + r, l] = A[r, (r//b)*b - 2b + l], l in [0, 4b), with the
-    strictly-upper and out-of-range positions exactly zero (the
-    kernel's rotation wraps rely on that invariant). 2b top /
-    (smax+4)*b bottom zero margins."""
+    """Dense banded (n, n) -> the kernel's block-aligned dense lower
+    store in SWEEP-0-READY alignment:
+    DS[2b + r, l] = A[r, cb_0(r) + l] with cb_0(r) = 1 + ((r-1)//b - 2)b
+    (see kernels/sb2tr.py — the store is kept pre-shifted for the next
+    sweep so the kernel needs no dynamic lane rotation). Strictly-upper
+    and out-of-range positions are exactly zero. Static slices only (a
+    take_along_axis gather here measured 232 ms at n=8192)."""
     n = a_band.shape[0]
-    smax = chase_smax(n, b)
+    assert n % b == 0
+    # DS0[r, l] = A[r, (r//b - 2)*b + l] via per-block static slices
+    blocks = []
+    for m in range(n // b):
+        lo = (m - 2) * b
+        lo_c, hi_c = max(lo, 0), min(lo + 4 * b, n)
+        blk = a_band[m * b:(m + 1) * b, lo_c:hi_c]
+        blk = jnp.pad(blk, ((0, 0), (lo_c - lo,
+                                     4 * b - (lo_c - lo) - (hi_c - lo_c))))
+        blocks.append(blk)
+    ds0 = jnp.concatenate(blocks, axis=0)
     r = jax.lax.broadcasted_iota(jnp.int32, (n, 4 * b), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (n, 4 * b), 1)
-    c = (r // b) * b - 2 * b + lane
-    idx = jnp.clip(c, 0, n - 1)
-    ds = jnp.take_along_axis(a_band, idx, axis=1, mode='clip')
-    ds = jnp.where((c >= 0) & (c <= r), ds, 0.0)
+    ds0 = jnp.where(lane <= (r % b) + 2 * b, ds0, 0.0)
+    # pre-shift to cb_0: +1 lane everywhere, +1-b on block-start rows
+    ds_a = jnp.concatenate(
+        [ds0[:, 1:], jnp.zeros((n, 1), jnp.float32)], axis=1)
+    ds_b = jnp.concatenate(
+        [jnp.zeros((n, b - 1), jnp.float32), ds0[:, :3 * b + 1]], axis=1)
+    ds = jnp.where(r % b == 0, ds_b, ds_a)
     top = jnp.zeros((2 * b, 4 * b), jnp.float32)
-    bot = jnp.zeros(((smax + 4) * b, 4 * b), jnp.float32)
+    bot = jnp.zeros((6 * b, 4 * b), jnp.float32)
     return jnp.concatenate([top, ds, bot], axis=0)
 
 
@@ -315,13 +336,11 @@ def sbr_tridiag(a: jax.Array, b: int = 256,
         from ..kernels.sb2tr import sb2tr
 
         ds = _band_to_ds(a_band, b)
-        ds_out, vout = sb2tr(ds, M, b)
-        body = ds_out[2 * b:2 * b + M, :]
-        r1 = jnp.arange(M)
-        d = jnp.take_along_axis(
-            body, ((r1 % b) + 2 * b)[:, None], axis=1)[:, 0]
-        e = jnp.take_along_axis(
-            body, ((r1 % b) + 2 * b - 1)[:, None], axis=1)[:, 0][1:]
+        vout, de = sb2tr(ds, M, b)
+        # de[j] = [e_j, d_{j+1}] from each sweep's s=0 op; d_0 is never
+        # touched by the chase
+        e = de[:M - 1, 0]
+        d = jnp.concatenate([a_band[0:1, 0], de[:M - 1, 1]])
     else:
         a_tri, vout = _sb2tr_dense(a_band, b)
         d = jnp.diagonal(a_tri)

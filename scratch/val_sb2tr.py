@@ -29,13 +29,11 @@ def main():
         jnp.asarray(a), b=b)
     ds = _band_to_ds(a_band, b)
     t0 = time.perf_counter()
-    skl_out, vout = sb2tr(ds, n, b)
-    sklv = np.asarray(skl_out)
+    vout, de = sb2tr(ds, n, b)
+    dev = np.asarray(de)
     t1 = time.perf_counter()
-    body = sklv[2 * b:2 * b + n, :]
-    r1 = np.arange(n)
-    d = body[r1, (r1 % b) + 2 * b]
-    e = body[r1, (r1 % b) + 2 * b - 1][1:]
+    e = dev[:n - 1, 0]
+    d = np.concatenate([np.asarray(a_band)[0:1, 0], dev[:n - 1, 1]])
     T = np.diag(d.astype(np.float64)) + np.diag(e.astype(np.float64), -1) \
         + np.diag(e.astype(np.float64), 1)
     ev1 = np.linalg.eigvalsh(T)
