@@ -49,6 +49,12 @@ class HermitianEigCtrl(NamedTuple):
     sort: SortType = ASCENDING
     refine: bool = False
     refine_iters: int = 8  # CAP: the device path exits early on plateau
+    # tridiagonalization stage: 'auto' picks two-stage SBR (lapack/sbr.py)
+    # on TPU for large real f32 problems (where it beats the one-stage
+    # latrd path — PERF.md), 'latrd'/'sbr' force a path ('sbr' off-TPU
+    # runs the dense stage-2 reference; tests use it with a small band)
+    tridiag_alg: str = "auto"
+    band: int = 256  # SBR stage-1 bandwidth (kernel needs % 128 == 0)
 
 
 def HermitianEig(uplo: UpperOrLower, A: DistMatrix, vectors: bool = True,
@@ -114,6 +120,42 @@ def _hermitian_eig_jit(uplo: UpperOrLower, A: DistMatrix,
                       jnp.where((maxabs < underflow) & (maxabs > 0),
                                 underflow / maxabs, jnp.ones((), rdt)))
     Af = Af.with_data(Af.data * scale.astype(Af.dtype))
+
+    # --- tridiagonalization stage selection -------------------------------
+    # Two-stage successive band reduction (lapack/sbr.py): full->band at
+    # GEMM rate + a VMEM-resident Pallas bulge chase. Beats the one-stage
+    # latrd path at large n on TPU (PERF.md: tridiag stage 8192 561 ms vs
+    # 916). Reference role: condense/HermitianTridiag.cpp:82-116.
+    from ..kernels.common import on_tpu
+
+    _can_sbr = (A.grid.size == 1 and rdt == jnp.float32
+                and not jnp.iscomplexobj(Af.data))
+    if ctrl.tridiag_alg == "sbr":
+        use_sbr = _can_sbr
+    elif ctrl.tridiag_alg == "auto":
+        use_sbr = _can_sbr and on_tpu() and n >= 8192
+    else:
+        use_sbr = False
+    if use_sbr:
+        from .sbr import sbr_apply_q, sbr_tridiag
+
+        b = ctrl.band
+        npad = -(-n // b) * b
+        Ag = Af.data[:n, :n]
+        if npad != n:
+            Ag = jnp.pad(Ag, ((0, npad - n), (0, npad - n)))
+        sfact = sbr_tridiag(Ag, b=b, use_kernel=on_tpu())
+        d = sfact.d[:n]
+        e = sfact.e[: max(n - 1, 0)]
+        if not vectors:
+            return tridiag_eigvalsh(d, e) / scale
+        w, Z = tridiag_eig(d, e)
+        w = w / scale
+        Zp = jnp.zeros((npad, n), jnp.float32).at[:n, :].set(
+            Z.astype(jnp.float32))
+        Qg = sbr_apply_q(sfact, Zp, b)[:n, :]
+        Q = DistMatrix.from_global(Qg, MC, MR, A.grid)
+        return w, Q
 
     fact = HermitianTridiag(LOWER, Af, blocksize=ctrl.blocksize)
     d = fact.d[:n]

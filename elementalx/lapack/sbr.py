@@ -263,12 +263,13 @@ def _apply_q2(vout: jax.Array, Z: jax.Array, n: int, b: int,
     def step(Zp, blk):
         D, T, c0, s = blk
         base = c0 + 1 + s * b
-        Zs = jax.lax.dynamic_slice(Zp, (base, 0), (m, Zp.shape[1]))
+        zero = jnp.zeros((), base.dtype)
+        Zs = jax.lax.dynamic_slice(Zp, (base, zero), (m, Zp.shape[1]))
         Tm = T.T if adjoint else T
         Zs = Zs - jnp.dot(D, jnp.dot(Tm, jnp.dot(D.T, Zs,
                                                  precision=_HIGH),
                                      precision=_HIGH), precision=_HIGH)
-        return jax.lax.dynamic_update_slice(Zp, Zs, (base, 0)), None
+        return jax.lax.dynamic_update_slice(Zp, Zs, (base, zero)), None
 
     Zp, _ = jax.lax.scan(step, Zp, (D_all, T_all, c0s, ss))
     return Zp[:Z.shape[0]]

@@ -33,19 +33,22 @@ def chain_time(mk, args, k1=1, k2=3, reps=3):
 
 
 def main():
-    if len(sys.argv) > 1 and sys.argv[1] == "xla":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "auto"
+    if mode == "xla":
         import elementalx.kernels.common as KC
         KC.on_tpu = lambda: False
         mode = "xla-panel"
-    else:
-        mode = "pallas-panel"
     print("devices:", jax.devices(), "mode:", mode, flush=True)
 
     import elementalx as El
     from elementalx import DistMatrix
     from elementalx.core.types import LOWER
     from elementalx.lapack.condense import HermitianTridiag
-    from elementalx.lapack.hermitian_eig import HermitianEig
+    from elementalx.lapack.hermitian_eig import HermitianEig, HermitianEigCtrl
+
+    ctrl = HermitianEigCtrl()
+    if mode == "latrd":
+        ctrl = HermitianEigCtrl(tridiag_alg="latrd")
 
     N = int(os.environ.get("N", 8192))
     rng = np.random.default_rng(1)
@@ -55,16 +58,29 @@ def main():
     A = DistMatrix.from_global(jnp.asarray(a), grid=grid)
 
     # ---- stage 1: tridiag only ----
-    def mk_tri(k):
-        def f(x):
-            def body(_, xx):
-                fact = HermitianTridiag(LOWER, A.with_data(xx))
-                s = (jnp.sum(fact.d) + jnp.sum(fact.e)
-                     + jnp.sum(fact.tau.real)) * 1e-30
-                return xx + s.astype(xx.dtype)
-            y = jax.lax.fori_loop(0, k, body, x)
-            return jnp.sum(y[0])
-        return jax.jit(f)
+    if mode in ("latrd", "xla-panel"):
+        def mk_tri(k):
+            def f(x):
+                def body(_, xx):
+                    fact = HermitianTridiag(LOWER, A.with_data(xx))
+                    s = (jnp.sum(fact.d) + jnp.sum(fact.e)
+                         + jnp.sum(fact.tau.real)) * 1e-30
+                    return xx + s.astype(xx.dtype)
+                y = jax.lax.fori_loop(0, k, body, x)
+                return jnp.sum(y[0])
+            return jax.jit(f)
+    else:
+        from elementalx.lapack.sbr import sbr_tridiag
+
+        def mk_tri(k):
+            def f(x):
+                def body(_, xx):
+                    fact = sbr_tridiag(xx, b=256)
+                    s = (jnp.sum(fact.d) + jnp.sum(fact.e)) * 1e-30
+                    return xx + s.astype(xx.dtype)
+                y = jax.lax.fori_loop(0, k, body, x)
+                return jnp.sum(y[0])
+            return jax.jit(f)
 
     t_tri = chain_time(mk_tri, (A.data,))
     print(f"tridiag N={N} [{mode}]: {t_tri*1e3:.1f} ms", flush=True)
@@ -73,7 +89,8 @@ def main():
     def mk_eig(k):
         def f(x):
             def body(_, xx):
-                w, Q = HermitianEig(LOWER, A.with_data(xx), vectors=True)
+                w, Q = HermitianEig(LOWER, A.with_data(xx), vectors=True,
+                                    ctrl=ctrl)
                 s = (jnp.sum(w) + jnp.sum(Q.data[0, :8])) * 1e-30
                 return xx + s.astype(xx.dtype)
             y = jax.lax.fori_loop(0, k, body, x)
@@ -84,7 +101,7 @@ def main():
     print(f"hermitian_eig N={N} [{mode}]: {t_eig*1e3:.1f} ms", flush=True)
 
     # residual check (one eager run)
-    w, Q = HermitianEig(LOWER, A, vectors=True)
+    w, Q = HermitianEig(LOWER, A, vectors=True, ctrl=ctrl)
     qd = Q.data[:N, :N]
     R = jnp.matmul(jnp.asarray(a), qd, precision=jax.lax.Precision.HIGHEST) \
         - qd * w[None, :]
