@@ -308,11 +308,42 @@ def _cannon(A: DistMatrix, B: DistMatrix) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+# When True, GEMM_DEFAULT dispatches through the reference's
+# aspect-ratio heuristic onto the EXPLICIT SUMMA variants instead of the
+# GSPMD path (which otherwise dominates on TPU: XLA plans the same
+# collectives itself). Toggle for A/B studies and for meshes where
+# manual stationarity beats the compiler's choice.
+_EXPLICIT_SUMMA = [False]
+
+
+def use_explicit_summa(on: bool = True) -> None:
+    """Route GEMM_DEFAULT through the aspect-ratio SUMMA heuristic
+    (reference: Gemm/NN.hpp:910-931) instead of GSPMD. Clears Gemm's
+    jit cache: the choice is made at trace time, so cached
+    GEMM_DEFAULT executables would otherwise keep the old dispatch."""
+    _EXPLICIT_SUMMA[0] = bool(on)
+    Gemm.clear_cache()
+
+
 def _choose_algorithm(m: int, n: int, k: int, p: int) -> GemmAlgorithm:
-    """Aspect-ratio heuristic (reference: NN.hpp:910-931): k >> m,n -> Dot;
-    n small -> stationary-A; m small -> stationary-B; else stationary-C —
-    but on TPU the GSPMD path dominates, so it is the default."""
-    return GEMM_XLA
+    """Aspect-ratio heuristic (reference: NN.hpp:910-931, weight
+    towards C = 2): k >> m,n -> Dot (stationary-k accumulation);
+    m << n -> stationary-B; n << m -> stationary-A; else stationary-C.
+    With GSPMD enabled (the default) XLA's own sharding propagation
+    plans equivalent collectives, so GEMM_XLA wins and is returned
+    unconditionally; `use_explicit_summa(True)` activates the manual
+    dispatch (single-device grids always take GEMM_XLA — the SUMMA
+    variants' shard_map needs a real mesh)."""
+    if not _EXPLICIT_SUMMA[0] or p == 1:
+        return GEMM_XLA
+    w = 2
+    if w * m <= k and w * n <= k:
+        return GEMM_SUMMA_DOT
+    if m <= n and w * m <= n:
+        return GEMM_SUMMA_B
+    if n <= m and w * n <= m:
+        return GEMM_SUMMA_A
+    return GEMM_SUMMA_C
 
 
 @functools.partial(jax.jit, static_argnames=('orientA', 'orientB', 'alg', 'blocksize'))

@@ -59,7 +59,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _sb2tr_kernel(ds, ds_out, vout_hbm, de_out, strip, vsweep, sems,
-                  *, n, b, smax):
+                  *, n, b, smax, sync_vout=True, no_vout=False):
+    SYNC_VOUT = sync_vout
+    NO_VOUT = no_vout  # debug: skip the reflector DMA entirely
     # ds is aliased onto ds_out (input_output_aliases): one VMEM buffer
 
     lane_b = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
@@ -206,9 +208,10 @@ def _sb2tr_kernel(ds, ds_out, vout_hbm, de_out, strip, vsweep, sems,
     def sweep_body(j, carry):
         bufoff = jax.lax.rem(j, 2) * smax
 
-        @pl.when(j >= 2)
-        def _():
-            vcopy(j - 2, bufoff).wait()
+        if not SYNC_VOUT:
+            @pl.when(j >= 2)
+            def _():
+                vcopy(j - 2, bufoff).wait()
 
         vsweep[pl.ds(bufoff, smax)] = jnp.zeros((smax, 1, b),
                                                 jnp.float32)
@@ -239,17 +242,39 @@ def _sb2tr_kernel(ds, ds_out, vout_hbm, de_out, strip, vsweep, sems,
             return 0
 
         jax.lax.fori_loop(0, trips, chunk, 0)
-        vcopy(j, bufoff).start()
+        if NO_VOUT:
+            return 0
+        cp = vcopy(j, bufoff)
+        cp.start()
+        if SYNC_VOUT:
+            # synchronous per-sweep drain: the overlapped double-buffered
+            # scheme nondeterministically corrupts the CHASE STATE at
+            # sizes where vout spills to HBM (n >= 4096 at b=256: de/DS
+            # differ run-to-run on identical input, scratch/
+            # dbg_sb2tr_det.py) — an in-flight VMEM->HBM copy racing
+            # compute. ~24 KB/sweep, so the exposed DMA latency is small
+            # against the sweep's chase work.
+            cp.wait()
         return 0
 
+    # scratch hygiene: the strip MUST start zeroed — sweep 0's ops read
+    # ring slots whose blocks lie beyond the band (trivial-guard windows
+    # expect zeros); uninitialized VMEM leaks the PREVIOUS invocation's
+    # state (measured: identical corruption sequences across process
+    # restarts at n=4096, scratch/dbg_sb2tr_det.py)
+    strip[...] = jnp.zeros((8 * b, 8 * b), jnp.float32)
     jax.lax.fori_loop(0, n, sweep_body, 0)
-    # drain the last two reflector copies
-    vcopy(n - 2, jax.lax.rem(n - 2, 2) * smax).wait()
-    vcopy(n - 1, jax.lax.rem(n - 1, 2) * smax).wait()
+    if not SYNC_VOUT and not NO_VOUT:
+        # drain the last two reflector copies
+        vcopy(n - 2, jax.lax.rem(n - 2, 2) * smax).wait()
+        vcopy(n - 1, jax.lax.rem(n - 1, 2) * smax).wait()
 
 
-@functools.partial(jax.jit, static_argnames=("n", "b", "interpret"))
-def sb2tr(ds: jax.Array, n: int, b: int, interpret: bool = False):
+@functools.partial(jax.jit,
+                   static_argnames=("n", "b", "interpret", "sync_vout",
+                                    "no_vout"))
+def sb2tr(ds: jax.Array, n: int, b: int, interpret: bool = False,
+          sync_vout: bool = True, no_vout: bool = False):
     """Band->tridiag chase. ``ds``: block-aligned dense lower store
     from lapack/sbr._band_to_ds (rows = 2b top margin + n + 6b bottom
     margin, lanes 4b; sweep-0-ready pre-shifted alignment; aliased
@@ -261,7 +286,8 @@ def sb2tr(ds: jax.Array, n: int, b: int, interpret: bool = False):
     assert b % 128 == 0
     smax = chase_smax(n, b)
     assert ds.shape == (n + 8 * b, 4 * b), ds.shape
-    kern = functools.partial(_sb2tr_kernel, n=n, b=b, smax=smax)
+    kern = functools.partial(_sb2tr_kernel, n=n, b=b, smax=smax,
+                             sync_vout=sync_vout, no_vout=no_vout)
     _, vout, de = pl.pallas_call(
         kern,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],

@@ -183,12 +183,20 @@ def _chol_lower_left(a: jax.Array, nb: int, precision=None,
     # product into "old" columns (available two panels back) and the
     # previous block's rank-w contribution lets XLA overlap each big
     # old-history gemm with the previous panel's small serial tail.
+    # TWO-PANEL-DEEP lookahead (ELX_CHOL_LA2=1, A/B only): the big
+    # history gemm of panel k reads only columns [0, k0-2nb) — blocks
+    # k-2 and k-1 enter as separate rank-nb terms — so it depends on
+    # nothing later than tail k-3 and XLA may schedule it before BOTH
+    # preceding serial tails. One extra rank-nb gemm per panel.
+    la2 = os.environ.get("ELX_CHOL_LA2") == "1"
     Lbuf = jnp.zeros((M, M), sdt)
     blk_prev = None
+    blk_prev2 = None
     for k0 in range(0, M, nb):
         w = min(nb, M - k0)
         pan = a[k0:, k0:k0 + w].astype(cdt)
-        j0 = k0 - nb          # column start of the previous panel
+        depth = 2 * nb if la2 else nb
+        j0 = k0 - depth       # column start of the near-history blocks
         if k0 > 0:
             if j0 > 0:
                 hist = Lbuf[k0:, :j0]
@@ -196,7 +204,12 @@ def _chol_lower_left(a: jax.Array, nb: int, precision=None,
                 pan = pan - jnp.matmul(hist, jnp.conj(row.T),
                                        precision=precision,
                                        preferred_element_type=cdt)
-            bl = blk_prev     # (M - j0, nb): previous factor column
+            if la2 and k0 >= 2 * nb:
+                b2 = blk_prev2   # (M - (k0-2nb), nb)
+                pan = pan - jnp.matmul(
+                    b2[2 * nb:], jnp.conj(b2[2 * nb:2 * nb + w].T),
+                    precision=precision, preferred_element_type=cdt)
+            bl = blk_prev     # (M - (k0-nb), nb): previous factor column
             pan = pan - jnp.matmul(bl[nb:], jnp.conj(bl[nb:nb + w].T),
                                    precision=precision,
                                    preferred_element_type=cdt)
@@ -231,6 +244,7 @@ def _chol_lower_left(a: jax.Array, nb: int, precision=None,
                                  preferred_element_type=cdt)
                 blk = jnp.concatenate([blk, l21.astype(sdt)], axis=0)
         Lbuf = jax.lax.dynamic_update_slice(Lbuf, blk, (k0, k0))
+        blk_prev2 = blk_prev
         blk_prev = blk
     return Lbuf
 

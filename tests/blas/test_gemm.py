@@ -125,3 +125,39 @@ def test_gemm_3d(grid, rng):
     B = DistMatrix.from_global(b, grid=grid)
     out = Gemm3D(A, B, depth=2)
     assert _rel_err(out.global_array(), a @ b) < 1e-12
+
+
+def test_gemm_default_aspect_heuristic(grid, rng):
+    """GEMM_DEFAULT aspect-ratio dispatch (reference: Gemm/NN.hpp:910-931)
+    behind use_explicit_summa: k >> m,n -> Dot; m << n -> stationary-B;
+    n << m -> stationary-A; else stationary-C; GSPMD default otherwise."""
+    from elementalx.blas.gemm import (
+        GEMM_DEFAULT,
+        _choose_algorithm,
+        use_explicit_summa,
+    )
+
+    p = grid.size
+    # default (GSPMD on): always XLA
+    assert _choose_algorithm(8, 8, 1024, p) == GEMM_XLA
+    use_explicit_summa(True)
+    try:
+        assert _choose_algorithm(8, 8, 1024, p) == GEMM_SUMMA_DOT
+        assert _choose_algorithm(8, 1024, 32, p) == GEMM_SUMMA_B
+        assert _choose_algorithm(1024, 8, 32, p) == GEMM_SUMMA_A
+        assert _choose_algorithm(256, 256, 256, p) == GEMM_SUMMA_C
+        # single-device grids always take the GSPMD path
+        assert _choose_algorithm(8, 8, 1024, 1) == GEMM_XLA
+        # numerics through the dispatched variants (DEFAULT resolves at
+        # trace time; use_explicit_summa cleared the jit cache)
+        for m, k, n in ((8, 64, 8), (8, 24, 64), (64, 24, 8),
+                        (24, 24, 24)):
+            a = rng.standard_normal((m, k))
+            b = rng.standard_normal((k, n))
+            A = DistMatrix.from_global(a, grid=grid)
+            B = DistMatrix.from_global(b, grid=grid)
+            out = Gemm(NORMAL, NORMAL, 1.0, A, B, alg=GEMM_DEFAULT)
+            assert _rel_err(out.global_array(), a @ b) < 1e-12
+    finally:
+        use_explicit_summa(False)
+    assert _choose_algorithm(8, 8, 1024, p) == GEMM_XLA
